@@ -1,0 +1,240 @@
+"""Typed configuration tree for the TPU-native SLAM framework.
+
+Every constant in the reference stack (servos/SLAM) becomes a field here with the
+reference's default value, replacing its four config mechanisms (compile-time
+#defines, runtime setters, YAML extrinsics, roslaunch params — see SURVEY.md §5).
+
+Reference provenance is cited per field as file:line into /root/reference.
+Configs are hashable frozen dataclasses so they can be closed over by jitted
+functions as static arguments.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+
+def _fd(**kw):
+    return dataclasses.field(**kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class EkfConfig:
+    """8-state EKF constants (ekf/src/nasa_ekf.h:13-21, nasa_ekf.cpp:358-360)."""
+
+    loop_rate_hz: float = 100.0          # nasa_ekf.h:14 LOOPRATE
+    path_publish_iters: int = 100        # nasa_ekf.h:15-16 PUBITER (1 Hz at 100 Hz loop)
+    motion_noise: float = 0.05           # nasa_ekf.h:19 MOTNOISE (R = 0.05*I8)
+    meas_noise_yaw: float = 0.01         # nasa_ekf.h:20 MEASNOISEYAW (gyro yaw-rate)
+    meas_noise_slam: float = 10.0        # nasa_ekf.h:21 MEASNOISESLAM (Qslam = 10*I3)
+    num_init_imu_samples: int = 200      # nasa_ekf.h gyro-bias init window
+    init_sigma: float = 0.001            # nasa_ekf.cpp:383 initial covariance scale
+    cmd_vel_max: float = 3.0             # nasa_ekf.cpp:358-359 linear clamp [m/s]
+    cmd_omega_max: float = 0.75          # nasa_ekf.cpp:360 yaw-rate clamp [rad/s]
+
+
+@dataclasses.dataclass(frozen=True)
+class GroundSegConfig:
+    """GP-INSAC ground segmentation (groundSegmentation.h:15-18, .cpp:36-50)."""
+
+    num_sectors: int = 72                # groundSegmentation.h:17 NUMBINSA
+    num_range_bins: int = 200            # groundSegmentation.h:18 NUMBINSL
+    r_max: float = 100.0                 # groundSegmentation.cpp:36 RMAX
+    num_seed_points: int = 10            # groundSegmentation.cpp:38
+    gp_length_scale: float = 10.0        # groundSegmentation.cpp:40 P_L
+    gp_signal_var: float = 1.0           # groundSegmentation.cpp:41 P_SF
+    gp_noise: float = 0.3                # groundSegmentation.cpp:42 P_SN
+    gp_model_confidence: float = 5.0     # groundSegmentation.cpp:43 P_TMODEL
+    gp_data_confidence: float = 5.0      # groundSegmentation.cpp:44 P_TDATA
+    ground_threshold: float = 0.3        # groundSegmentation.cpp:45 P_TG
+    robot_height: float = 1.2            # groundSegmentation.cpp:47 ROBOT_HEIGHT
+    seed_max_range: float = 50.0         # groundSegmentation.cpp:49 MAXSEEDRANGE
+    seed_max_height: float = 15.0        # groundSegmentation.cpp:50 MAXSEEDHEIGHT
+    min_bin_points: int = 5              # groundSegmentation.cpp:211 bin validity gate
+    max_insac_sweeps: int = 10           # fixed-sweep INSAC reformulation (ours)
+    # Fixed capacity of the per-sector signal set (valid prototypes). The
+    # reference's is implicitly num_range_bins; smaller saves compute when the
+    # scan geometry can't fill all bins.
+    signal_capacity: int = 64
+
+
+@dataclasses.dataclass(frozen=True)
+class IcpConfig:
+    """Class-constrained 2D ICP (ccicp2d: icp.cpp:27, icpTools.h:21-26, icpTools.cpp)."""
+
+    max_points: int = 20000              # icpTools.h:21 ICP_MAX_PTS per class
+    max_iterations: int = 20             # icp.cpp:27 max_iter
+    min_delta: float = 1e-6              # icp.cpp:27 min_delta convergence gate
+    inlier_dist: float = 5.0             # icpTools.cpp:188 (fit(..., indist=5, ...))
+    crop_dist: float = 75.0              # icpTools.cpp:230 target crop half-extent
+    min_scene_points: int = 5            # icpTools.cpp:179; icp.cpp:38,100
+    # ground-adjacency reclassification grid (icpTools.h:24-26)
+    ga_num_bins: int = 1200              # icpTools.h NUMBINSGA
+    ga_resolution: float = 0.5           # icpTools.h RESOLUTION [m]
+    ga_threshold: int = 2                # icpTools.h GRD_ADJ_THRESH (>=2 empty nbrs)
+    # voxel-downsample leaf sizes applied to the scene (icpTools.cpp:623,630)
+    voxel_leaf_obs: Tuple[float, float, float] = (0.5, 0.5, 2.0)
+    voxel_leaf_ground: Tuple[float, float, float] = (0.5, 0.5, 5.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class HeightConfig:
+    """Wheel-contact height interpolation (icpTools.cpp:301-419)."""
+
+    robot_height: float = 1.45           # icpTools.cpp:303 ROBO_HEIGHT
+    x_wheel_dist: float = 0.5            # icpTools.cpp:304
+    y_wheel_dist: float = 0.5            # icpTools.cpp:305
+    max_nn_dist_sq: float = 9.0          # icpTools.cpp:347 (<3 m squared)
+    min_corr_points: int = 4             # icpTools.cpp:357
+
+
+@dataclasses.dataclass(frozen=True)
+class MlsConfig:
+    """MLS / occupancy grid (mls/mls.h:182-206, local_mapper.cpp:29)."""
+
+    size_x: int = 200                    # local_mapper.cpp:29 (local rolling map)
+    size_y: int = 200
+    resolution: float = 0.2              # local_mapper.cpp:29 [m/cell]
+    rolling: bool = True
+    max_clusters: int = 4                # mls.h max_clusters (fixed-K here)
+    min_cluster_points: float = 3.0      # mls.h min_cluster_points
+    max_cluster_points: float = 20.0     # mls.h max_cluster_points cap
+    occupancy_increment: float = 1.0     # mls.h:188
+    occupancy_decrement: float = 0.3     # mls.h:189
+    cluster_sigma_factor: float = 3.0    # mls.h (sigma*3 association gate)
+    cluster_dist_threshold: float = 0.5  # mls.h (+0.5 m association gate)
+    cluster_combine_dist: float = 0.25   # mls.h cluster merge clearance
+    drive_dist_threshold: float = 1.0    # mls.cpp:299 (<1 m gap => not drivable)
+    height_threshold: float = 0.4        # mls.cpp:318 neighbor height diff
+    normal_threshold: float = 0.15       # mls.cpp:332 z-variance drivability gate
+    robot_height: float = 1.45           # mls.h:196 (seed disk depth)
+    max_range: float = 30.0              # mls.h map insertion range gate
+    update_dist: int = 100               # mls.h update window half-extent [cells]
+    min_var_z: float = 0.001             # mls.cpp:234 variance floor
+
+
+@dataclasses.dataclass(frozen=True)
+class GraphConfig:
+    """Pose-graph SLAM (graphSlamTools.h:26-36, graph_slam.cpp)."""
+
+    max_nodes: int = 64                  # fixed capacity (reference: unbounded)
+    max_edges: int = 256
+    keyframe_points: int = 1024          # stored keyframe cloud capacity (voxelized)
+    knn_dist_thresh: float = 5.0         # graphSlamTools.h:26 new-KF gate [m]
+    knn_edges: int = 3                   # graphSlamTools.h:27 GSLAM_KNN
+    min_keyframe_points: int = 20000     # graph_slam.cpp:498 cloud size gate
+    opt_iterations: int = 10             # graph_slam.cpp:332 LM iterations
+    edge_icp_voxel: float = 0.5          # graphSlamTools.cpp:282 leaf size
+    edge_max_corr: float = 0.75          # graphSlamTools.cpp:302 LUM max corr dist
+    edge_icp_max_iter: int = 50          # GICP budget (ref <=200, gicp default)
+    dist_move_thresh: float = 10.0       # graphSlamTools.h:35 edge rejection [m]
+    rot_move_thresh: float = 0.2         # graphSlamTools.h:36 edge rejection [rad]
+    lm_lambda: float = 1e-4              # LM damping for our batched GN solver
+    loop_rate_hz: float = 10.0           # graph_slam.cpp:418
+
+
+@dataclasses.dataclass(frozen=True)
+class GlobalMatchConfig:
+    """Correlative relocalization (global_matching/src/global_match.cpp:24-41)."""
+
+    num_restarts: int = 20               # global_match.cpp:36 (random restarts)
+    search_radius: float = 10.0          # global_match.cpp:105-122 (+-10 m)
+    accept_score: float = 0.002          # global_match.cpp:30,151
+    max_failures: int = 50               # global_match.cpp:204 fallback gate
+    voxel_leaf: float = 1.5              # global_match.cpp:92-94
+    # FFT correlative search parameters (ours; replaces random-restart GICP)
+    num_rotations: int = 64              # rotation slices over 360 deg
+    grid_size: int = 256                 # correlation grid cells
+    grid_resolution: float = 0.5         # [m/cell]
+
+
+@dataclasses.dataclass(frozen=True)
+class SampleMapConfig:
+    """Sample-probability grid (sample_mapping_node.cpp:19, sample_mapping.cpp)."""
+
+    size_x: int = 400
+    size_y: int = 400
+    resolution: float = 0.5
+    prob_min: float = 0.0                # clamp range [0, 5]
+    prob_max: float = 5.0
+    fov_cone: float = math.pi / 2        # camera FOV cone
+    r_min: float = 1.0                   # cone decay inner radius
+    r_max: float = 10.0                  # cone decay outer radius
+    pixel_prob_threshold: float = 0.5    # sample_mapping.cpp:198 CV threshold
+
+
+@dataclasses.dataclass(frozen=True)
+class CloudConfig:
+    """Fixed-capacity masked point-cloud containers (replaces PCL clouds)."""
+
+    scan_capacity: int = 2048            # raw scan points per robot
+    scene_capacity: int = 1024           # post-voxel obstacle scene points
+    ground_capacity: int = 1024          # post-voxel ground points
+    map_capacity: int = 4096             # scan-to-map target points
+    min_scan_points: int = 0             # gates: ref 30k/20k; sim uses smaller scans
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """Synthetic world + sensor simulation (the fixture the reference lacks)."""
+
+    world_extent: float = 60.0           # half-extent of the world [m]
+    num_obstacles: int = 48              # circular obstacles (2D) / cylinders (3D)
+    obstacle_radius_min: float = 0.4
+    obstacle_radius_max: float = 1.6
+    num_beams: int = 360                 # 2D lidar beams
+    beam_max_range: float = 50.0
+    range_noise: float = 0.01            # [m] 1-sigma
+    gyro_noise: float = 0.002            # [rad/s]
+    gyro_bias: float = 0.01              # [rad/s] true bias, estimated at init
+    # 3D Velodyne HDL-32E-like model (drivers.launch:12-31)
+    num_rings: int = 32
+    ring_elevation_min: float = -0.535   # ~-30.67 deg
+    ring_elevation_max: float = 0.186    # ~+10.67 deg
+    num_azimuth: int = 64                # azimuth steps per ring (sim-scale)
+    sensor_height: float = 1.45          # sensor z above ground
+    dt: float = 0.1                      # sim step [s]
+
+
+@dataclasses.dataclass(frozen=True)
+class SlamConfig:
+    """Top-level config tree."""
+
+    ekf: EkfConfig = _fd(default_factory=EkfConfig)
+    ground: GroundSegConfig = _fd(default_factory=GroundSegConfig)
+    icp: IcpConfig = _fd(default_factory=IcpConfig)
+    height: HeightConfig = _fd(default_factory=HeightConfig)
+    mls: MlsConfig = _fd(default_factory=MlsConfig)
+    graph: GraphConfig = _fd(default_factory=GraphConfig)
+    global_match: GlobalMatchConfig = _fd(default_factory=GlobalMatchConfig)
+    sample_map: SampleMapConfig = _fd(default_factory=SampleMapConfig)
+    cloud: CloudConfig = _fd(default_factory=CloudConfig)
+    sim: SimConfig = _fd(default_factory=SimConfig)
+    dtype: str = "float32"
+
+    def replace(self, **kw) -> "SlamConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def default_config() -> SlamConfig:
+    return SlamConfig()
+
+
+def sim2d_config() -> SlamConfig:
+    """Config tuned for the 2D 360-beam simulation benchmark (BASELINE config 1).
+
+    The 2D path has no ground segmentation; grids and capacities are sized for
+    throughput benchmarking while keeping the reference's algorithmic budgets.
+    """
+    c = SlamConfig()
+    return dataclasses.replace(
+        c,
+        icp=dataclasses.replace(c.icp, max_points=512, inlier_dist=1.0,
+                                crop_dist=55.0, ga_num_bins=192),
+        cloud=dataclasses.replace(c.cloud, scan_capacity=512, scene_capacity=512,
+                                  ground_capacity=8, map_capacity=1024),
+        mls=dataclasses.replace(c.mls, size_x=192, size_y=192, resolution=0.5,
+                                max_range=50.0, update_dist=96),
+    )

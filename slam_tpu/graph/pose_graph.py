@@ -1,0 +1,332 @@
+"""Keyframe pose-graph SLAM — TPU-native rebuild of graph_slam/.
+
+Replaces:
+  - g2o VertexSE3/EdgeSE3 + BlockSolver/CSparse/Levenberg (graph_slam.cpp:43-49,
+    322-390) with a fixed-capacity node/edge pytree and a batched dense
+    Gauss-Newton/LM solve on SE(2) x z. At the reference's graph sizes
+    (keyframes every 5 m, graphSlamTools.h:26) a dense 3N x 3N solve is faster
+    on the MXU than any sparse factorization, and it vmaps across robots.
+  - keyframe gating + KNN edge selection (graph_slam.cpp:494-519,
+    graphSlamTools.cpp:43-106): brute-force masked distance ranking.
+  - calcEdgeIcp (graphSlamTools.cpp:218-364): edge refinement via our
+    class-constrained ICP between stored keyframe clouds, information from the
+    2D Censi/LUM matrix, and the same >10 m / >0.2 rad rejection gates.
+  - regenerateGlobalMap (graph_slam.cpp:260-280): re-scatter of all keyframe
+    clouds under optimized poses into the map target.
+
+Deviation (documented): the reference optimizes full SE(3); our scan matcher
+is planar (2D ICP + height interpolation, like the reference's), so nodes are
+(x, y, yaw) + an independent 1D z chain. Roll/pitch never enter the reference
+graph either — its edges come from the same planar ICP.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from slam_tpu.config import GraphConfig, IcpConfig
+from slam_tpu.geometry import angle_wrap, se2_apply, se2_relative
+from slam_tpu.ops.icp import edge_information_2d, icp_fit
+from slam_tpu.ops.nn import nearest_neighbor
+from slam_tpu.types import PoseGraph, PointCloud
+
+
+def init_graph(cfg: GraphConfig, dtype=jnp.float32) -> PoseGraph:
+    N, E, P = cfg.max_nodes, cfg.max_edges, cfg.keyframe_points
+    return PoseGraph(
+        node_pose=jnp.zeros((N, 4), dtype),
+        node_valid=jnp.zeros((N,), bool),
+        kf_xyz=jnp.zeros((N, P, 3), dtype),
+        kf_valid=jnp.zeros((N, P), bool),
+        kf_flags=jnp.zeros((N, P), jnp.int32),
+        edge_ij=jnp.zeros((E, 2), jnp.int32),
+        edge_rel=jnp.zeros((E, 4), dtype),
+        edge_info=jnp.zeros((E, 4, 4), dtype),
+        edge_valid=jnp.zeros((E,), bool),
+        num_nodes=jnp.int32(0),
+        num_edges=jnp.int32(0),
+    )
+
+
+def nearest_kf_dist(graph: PoseGraph, pose_xy: jnp.ndarray) -> jnp.ndarray:
+    """2D distance to the nearest keyframe (graphSlamGetNearestKF,
+    graphSlamTools.cpp:43-65). inf when the graph is empty."""
+    d = jnp.linalg.norm(graph.node_pose[:, :2] - pose_xy, axis=-1)
+    d = jnp.where(graph.node_valid, d, jnp.inf)
+    return jnp.min(d)
+
+
+def knn_keyframes(graph: PoseGraph, pose_xy: jnp.ndarray, k: int,
+                  exclude: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """k nearest keyframe indices by 2D distance (graphSlamGetKNN,
+    graphSlamTools.cpp:72-106), excluding node `exclude` (the new node)."""
+    d = jnp.linalg.norm(graph.node_pose[:, :2] - pose_xy, axis=-1)
+    d = jnp.where(graph.node_valid, d, jnp.inf)
+    d = jnp.where(jnp.arange(d.shape[0]) == exclude, jnp.inf, d)
+    neg, idx = jax.lax.top_k(-d, k)
+    return idx, jnp.isfinite(-neg)
+
+
+def _edge_measurement(graph: PoseGraph, i: jnp.ndarray, j: jnp.ndarray,
+                      icp_cfg: IcpConfig, gcfg: GraphConfig):
+    """Edge i->j: ICP-refine the relative pose between keyframe clouds
+    (calcEdgeIcp, graphSlamTools.cpp:218-364).
+
+    Both clouds are expressed in their node frames. The scene (node j's cloud)
+    is registered against the model (node i's cloud) with init = relative
+    odometry pose (Mfrom^-1 * Mto, graphSlamTools.cpp:258).
+    """
+    pi = graph.node_pose[i]
+    pj = graph.node_pose[j]
+    init_rel = se2_relative(pi[:3], pj[:3])
+
+    scene_xyz = graph.kf_xyz[j][:, :2]
+    scene_valid = graph.kf_valid[j]
+    scene_ga = (graph.kf_flags[j] & PointCloud.FLAG_GA) != 0
+    model_xyz = graph.kf_xyz[i][:, :2]
+    model_valid = graph.kf_valid[i]
+    model_ga = (graph.kf_flags[i] & PointCloud.FLAG_GA) != 0
+
+    ecfg = icp_cfg
+    res = icp_fit(scene_xyz, scene_valid, scene_ga,
+                  model_xyz, model_valid, model_ga, init_rel, ecfg)
+
+    # information from final correspondences (computeEdgeInformationLUM core,
+    # graphSlamTools.cpp:108-214, restricted to the (x, y, yaw) block)
+    from slam_tpu.geometry import rot2
+    R = rot2(res.pose[2])
+    q = scene_xyz @ R.T + res.pose[:2]
+    idx, d2 = nearest_neighbor(q, model_xyz, model_valid)
+    w = (scene_valid & (d2 < gcfg.edge_max_corr ** 2)).astype(q.dtype)
+    info3 = edge_information_2d(q, model_xyz[idx], w)
+
+    # rejection gates (graphSlamTools.cpp:333-358)
+    x_diff = jnp.abs(init_rel[0] - res.pose[0])
+    y_diff = jnp.abs(init_rel[1] - res.pose[1])
+    t_diff = jnp.abs(angle_wrap(init_rel[2] - res.pose[2]))
+    ok = res.ok & (x_diff <= gcfg.dist_move_thresh) & \
+        (y_diff <= gcfg.dist_move_thresh) & (t_diff <= gcfg.rot_move_thresh)
+
+    rel = jnp.concatenate([res.pose, (pj[3] - pi[3])[None]])
+    info4 = jnp.zeros((4, 4), info3.dtype)
+    info4 = info4.at[:3, :3].set(info3).at[3, 3].set(1.0)
+    return rel, info4, ok
+
+
+def add_keyframe(graph: PoseGraph, pose: jnp.ndarray, cloud: PointCloud,
+                 icp_cfg: IcpConfig, cfg: GraphConfig,
+                 min_points: int | None = None) -> tuple[PoseGraph, jnp.ndarray]:
+    """Gate + insert a keyframe and its edges (graph_slam.cpp:479-519).
+
+    pose: (4,) x, y, yaw, z. cloud: segmented scene in the robot frame (the
+    reference stores velodyne-frame keyframes, graph_slam.cpp:503). Returns
+    (graph, added?). Fixed capacity: full graph stops adding (the reference
+    grows unboundedly and rebuilds the world map at O(N) per optimization —
+    graph_slam.cpp:260-280 — which is its own scalability cliff).
+    """
+    if min_points is None:
+        min_points = 0
+    far_enough = nearest_kf_dist(graph, pose[:2]) > cfg.knn_dist_thresh
+    first = graph.num_nodes == 0
+    has_room = graph.num_nodes < cfg.max_nodes
+    enough_pts = cloud.count() >= min_points
+    add = (far_enough | first) & has_room & enough_pts
+
+    n = graph.num_nodes
+    safe_n = jnp.minimum(n, cfg.max_nodes - 1)
+
+    kf_xyz = cloud.xyz[: cfg.keyframe_points]
+    kf_valid = cloud.valid[: cfg.keyframe_points]
+    kf_flags = cloud.flags[: cfg.keyframe_points]
+
+    new_graph = graph.replace(
+        node_pose=graph.node_pose.at[safe_n].set(jnp.where(add, pose,
+                                                           graph.node_pose[safe_n])),
+        node_valid=graph.node_valid.at[safe_n].set(
+            jnp.where(add, True, graph.node_valid[safe_n])),
+        kf_xyz=graph.kf_xyz.at[safe_n].set(
+            jnp.where(add, kf_xyz, graph.kf_xyz[safe_n])),
+        kf_valid=graph.kf_valid.at[safe_n].set(
+            jnp.where(add, kf_valid, graph.kf_valid[safe_n])),
+        kf_flags=graph.kf_flags.at[safe_n].set(
+            jnp.where(add, kf_flags, graph.kf_flags[safe_n])),
+        num_nodes=jnp.where(add, n + 1, n),
+    )
+
+    # edges: previous node + KNN (graph_slam.cpp:508-519)
+    def make_edges(g: PoseGraph) -> PoseGraph:
+        prev = safe_n - 1
+        knn_idx, knn_ok = knn_keyframes(g, pose[:2], cfg.knn_edges, safe_n)
+        cand = jnp.concatenate([prev[None], knn_idx])
+        cand_ok = jnp.concatenate([(prev >= 0)[None],
+                                   knn_ok & (knn_idx != prev)])
+
+        def add_one(g: PoseGraph, args):
+            src, ok_c = args
+            rel, info, icp_ok = _edge_measurement(g, src, safe_n, icp_cfg, cfg)
+            e = jnp.minimum(g.num_edges, cfg.max_edges - 1)
+            room = g.num_edges < cfg.max_edges
+            do = ok_c & icp_ok & room
+            g = g.replace(
+                edge_ij=g.edge_ij.at[e].set(
+                    jnp.where(do, jnp.stack([src, safe_n]), g.edge_ij[e])),
+                edge_rel=g.edge_rel.at[e].set(jnp.where(do, rel, g.edge_rel[e])),
+                edge_info=g.edge_info.at[e].set(
+                    jnp.where(do, info, g.edge_info[e])),
+                edge_valid=g.edge_valid.at[e].set(
+                    jnp.where(do, True, g.edge_valid[e])),
+                num_edges=jnp.where(do, g.num_edges + 1, g.num_edges),
+            )
+            return g, None
+
+        g, _ = jax.lax.scan(add_one, g, (cand, cand_ok))
+        return g
+
+    with_edges = jax.lax.cond(add & (safe_n > 0), make_edges,
+                              lambda g: g, new_graph)
+    return with_edges, add
+
+
+def _se2_edge_residuals(poses: jnp.ndarray, graph: PoseGraph):
+    """Residuals + Jacobian blocks for all edges (vectorized).
+
+    e_ij = [Rz^T (Ri^T (tj - ti) - z_t); wrap(thj - thi - z_th)]
+    """
+    i = graph.edge_ij[:, 0]
+    j = graph.edge_ij[:, 1]
+    pi = poses[i]
+    pj = poses[j]
+    z = graph.edge_rel
+
+    ci, si = jnp.cos(pi[:, 2]), jnp.sin(pi[:, 2])
+    dtx = pj[:, 0] - pi[:, 0]
+    dty = pj[:, 1] - pi[:, 1]
+    # Ri^T (tj - ti)
+    lx = ci * dtx + si * dty
+    ly = -si * dtx + ci * dty
+    cz, sz = jnp.cos(z[:, 2]), jnp.sin(z[:, 2])
+    ex = cz * (lx - z[:, 0]) + sz * (ly - z[:, 1])
+    ey = -sz * (lx - z[:, 0]) + cz * (ly - z[:, 1])
+    eth = angle_wrap(pj[:, 2] - pi[:, 2] - z[:, 2])
+    e = jnp.stack([ex, ey, eth], axis=-1)                       # (E, 3)
+
+    # d(Ri^T dt)/dth_i = dRi^T/dth dt = [-si ci; -ci -si] dt
+    dlx = -si * dtx + ci * dty
+    dly = -ci * dtx - si * dty
+    Rz_T = jnp.stack([jnp.stack([cz, sz], -1),
+                      jnp.stack([-sz, cz], -1)], -2)            # (E, 2, 2)
+    RiT = jnp.stack([jnp.stack([ci, si], -1),
+                     jnp.stack([-si, ci], -1)], -2)
+    Zero = jnp.zeros_like(ci)
+    One = jnp.ones_like(ci)
+
+    # A = de/dxi (E, 3, 3)
+    A_tt = -jnp.einsum("eab,ebc->eac", Rz_T, RiT)
+    A_tth = jnp.einsum("eab,eb->ea", Rz_T, jnp.stack([dlx, dly], -1))
+    A = jnp.concatenate([
+        jnp.concatenate([A_tt, A_tth[..., None]], axis=-1),
+        jnp.stack([Zero, Zero, -One], -1)[:, None, :],
+    ], axis=-2)
+    # B = de/dxj
+    B_tt = jnp.einsum("eab,ebc->eac", Rz_T, RiT)
+    B = jnp.concatenate([
+        jnp.concatenate([B_tt, jnp.zeros_like(A_tth)[..., None]], axis=-1),
+        jnp.stack([Zero, Zero, One], -1)[:, None, :],
+    ], axis=-2)
+    return e, A, B
+
+
+def optimize(graph: PoseGraph, cfg: GraphConfig) -> tuple[PoseGraph, jnp.ndarray]:
+    """Batched dense Gauss-Newton/LM over (x, y, yaw), then a linear z solve.
+
+    Mirrors optimizeGraph (graph_slam.cpp:322-390): node 0 fixed, fixed
+    iteration count, returns the pose-offset delta of the last node
+    (pre - post, graph_slam.cpp:357-384) for downstream map/EKF shifting.
+    """
+    N = graph.node_pose.shape[0]
+    info3 = graph.edge_info[:, :3, :3]
+    w_edge = graph.edge_valid.astype(graph.node_pose.dtype)
+    i_idx = graph.edge_ij[:, 0]
+    j_idx = graph.edge_ij[:, 1]
+
+    last = jnp.maximum(graph.num_nodes - 1, 0)
+    pre_last = graph.node_pose[last]
+
+    def gn_iter(poses, _):
+        e, A, B = _se2_edge_residuals(poses, graph)
+        Om = info3 * w_edge[:, None, None]
+
+        H = jnp.zeros((N, N, 3, 3), poses.dtype)
+        AtO = jnp.einsum("eba,ebc->eac", A, Om)
+        BtO = jnp.einsum("eba,ebc->eac", B, Om)
+        H = H.at[i_idx, i_idx].add(jnp.einsum("eab,ebc->eac", AtO, A))
+        H = H.at[i_idx, j_idx].add(jnp.einsum("eab,ebc->eac", AtO, B))
+        H = H.at[j_idx, i_idx].add(jnp.einsum("eab,ebc->eac", BtO, A))
+        H = H.at[j_idx, j_idx].add(jnp.einsum("eab,ebc->eac", BtO, B))
+        b = jnp.zeros((N, 3), poses.dtype)
+        b = b.at[i_idx].add(jnp.einsum("eab,eb->ea", AtO, e))
+        b = b.at[j_idx].add(jnp.einsum("eab,eb->ea", BtO, e))
+
+        Hd = H.transpose(0, 2, 1, 3).reshape(3 * N, 3 * N)
+        bd = b.reshape(3 * N)
+        # gauge fix: strong prior on node 0; identity regularizer on
+        # invalid/disconnected nodes + LM damping
+        diag = jnp.ones(3 * N, poses.dtype) * cfg.lm_lambda
+        diag = diag.at[:3].set(1e8)
+        inactive = ~graph.node_valid
+        diag = diag + jnp.repeat(inactive, 3) * 1.0
+        Hd = Hd + jnp.diag(diag)
+        dx = jnp.linalg.solve(Hd, -bd).reshape(N, 3)
+        poses = poses + dx
+        poses = poses.at[:, 2].set(angle_wrap(poses[:, 2]))
+        return poses, None
+
+    poses3, _ = jax.lax.scan(gn_iter, graph.node_pose[:, :3], None,
+                             length=cfg.opt_iterations)
+
+    # z: linear chain/graph least squares with unit info (1 GN step, exact)
+    def z_solve(zs):
+        Hz = jnp.zeros((N, N), zs.dtype)
+        bz = jnp.zeros((N,), zs.dtype)
+        ez = zs[j_idx] - zs[i_idx] - graph.edge_rel[:, 3]
+        wz = w_edge * graph.edge_info[:, 3, 3]
+        Hz = Hz.at[i_idx, i_idx].add(wz)
+        Hz = Hz.at[j_idx, j_idx].add(wz)
+        Hz = Hz.at[i_idx, j_idx].add(-wz)
+        Hz = Hz.at[j_idx, i_idx].add(-wz)
+        bz = bz.at[i_idx].add(wz * ez)
+        bz = bz.at[j_idx].add(-wz * ez)
+        diag = jnp.full((N,), cfg.lm_lambda, zs.dtype).at[0].set(1e8)
+        diag = diag + (~graph.node_valid) * 1.0
+        Hz = Hz + jnp.diag(diag)
+        return zs + jnp.linalg.solve(Hz, -bz)
+
+    zs = z_solve(graph.node_pose[:, 3])
+
+    new_pose = jnp.concatenate([poses3, zs[:, None]], axis=-1)
+    new_pose = jnp.where(graph.node_valid[:, None], new_pose, graph.node_pose)
+    post_last = new_pose[last]
+    delta = post_last - pre_last
+    delta = delta.at[2].set(angle_wrap(delta[2]))
+    return graph.replace(node_pose=new_pose), delta
+
+
+def regenerate_map(graph: PoseGraph, capacity: int,
+                   voxel_leaf=(0.5, 0.5, 2.0)) -> PointCloud:
+    """Re-scatter all keyframe clouds under optimized poses into one map cloud
+    (regenerateGlobalMap, graph_slam.cpp:260-280), voxel-merged to capacity."""
+    from slam_tpu.ops.voxel import voxel_downsample
+
+    N, P, _ = graph.kf_xyz.shape
+    poses = graph.node_pose
+    xy = jax.vmap(lambda p, pts: se2_apply(p[:3], pts))(
+        poses, graph.kf_xyz[..., :2])
+    z = graph.kf_xyz[..., 2] + poses[:, None, 3]
+    xyz = jnp.concatenate([xy, z[..., None]], axis=-1).reshape(N * P, 3)
+    valid = (graph.kf_valid & graph.node_valid[:, None]).reshape(N * P)
+    flags = graph.kf_flags.reshape(N * P)
+    merged = PointCloud(xyz=xyz, valid=valid, flags=flags)
+    return voxel_downsample(merged, voxel_leaf, capacity)

@@ -1,0 +1,118 @@
+"""Rolling occupancy / drivability grid — TPU-native rebuild of the MLS
+occupancy path (mls/src/mls.cpp:59-150 addToOccupancy, mls.h:53-100 Grid,
+mls.cpp:408-479 setPose/shiftOrigin).
+
+The reference's toroidal rolling Grid (wrap-indexing in Grid::operator(),
+mls.h:76-85) becomes a world-aligned dense array shifted with jnp.roll; the
+cells that roll in are cleared, matching mls.cpp:457-476. Per-point pushes
+become masked scatter-adds.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from slam_tpu.config import MlsConfig
+from slam_tpu.types import OccupancyGrid, PointCloud
+
+
+def init_occupancy(cfg: MlsConfig, dtype=jnp.float32) -> OccupancyGrid:
+    return OccupancyGrid(
+        counts=jnp.zeros((cfg.size_x, cfg.size_y), dtype),
+        drivable=-jnp.ones((cfg.size_x, cfg.size_y), jnp.int8),
+        origin=jnp.zeros(2, jnp.int32),
+        center=jnp.zeros(2, dtype),
+    )
+
+
+def shift_origin(grid: OccupancyGrid, new_center_xy: jnp.ndarray,
+                 cfg: MlsConfig) -> OccupancyGrid:
+    """Re-center the rolling map on the pose (MLS::setPose, mls.cpp:408-479).
+
+    Shifts by whole cells (dx = round(diff/res)) and clears cells that enter
+    the window. The grid array stays robot-centered: array index (size/2,
+    size/2) is the cell containing `center`.
+    """
+    res = jnp.asarray(cfg.resolution, grid.center.dtype)
+    d = jnp.round((new_center_xy - grid.center) / res).astype(jnp.int32)
+    center = grid.center + d.astype(grid.center.dtype) * res
+
+    counts = jnp.roll(grid.counts, shift=(-d[0], -d[1]), axis=(0, 1))
+    drivable = jnp.roll(grid.drivable, shift=(-d[0], -d[1]), axis=(0, 1))
+
+    # clear the band that wrapped in (mls.cpp:457-468)
+    H, W = counts.shape
+    ii = jnp.arange(H)[:, None]
+    jj = jnp.arange(W)[None, :]
+    # after rolling by -d, fresh cells are those whose pre-shift index fell
+    # outside [0, size): i_old = i + d
+    fresh = ((ii + d[0] < 0) | (ii + d[0] >= H) |
+             (jj + d[1] < 0) | (jj + d[1] >= W))
+    counts = jnp.where(fresh, 0.0, counts)
+    drivable = jnp.where(fresh, jnp.int8(-1), drivable)
+    return grid.replace(counts=counts, drivable=drivable, center=center)
+
+
+def _cell_index(xy_local: jnp.ndarray, cfg: MlsConfig):
+    """Point (robot-centered world-oriented) -> cell index (mls.cpp:76-78)."""
+    x = jnp.floor(xy_local[..., 0] / cfg.resolution).astype(jnp.int32) + cfg.size_x // 2
+    y = jnp.floor(xy_local[..., 1] / cfg.resolution).astype(jnp.int32) + cfg.size_y // 2
+    inb = (x >= 0) & (y >= 0) & (x < cfg.size_x) & (y < cfg.size_y)
+    return x, y, inb
+
+
+def add_to_occupancy(grid: OccupancyGrid, obstacle: PointCloud,
+                     ground: PointCloud, cfg: MlsConfig) -> OccupancyGrid:
+    """Occupancy update (mls.cpp:59-150): +increment per non-drivable obstacle
+    point, -decrement per ground point, clamped drivability flags.
+
+    Clouds are robot-centered / world-oriented (local_mapper path, mls.cpp:38-49).
+    Cells whose final count crosses min_cluster_points flip drivability; cells
+    untouched this scan keep their flag (the reference evaluates per point; the
+    net post-scan count decides identically except exact-threshold ties).
+    """
+    H, W = grid.counts.shape
+
+    def scatter(counts, cloud: PointCloud, sign: jnp.ndarray):
+        x, y, inb = _cell_index(cloud.xyz[..., :2], cfg)
+        rng = jnp.linalg.norm(cloud.xyz[..., :2], axis=-1)
+        keep = cloud.valid & inb & (rng <= cfg.max_range)
+        x = jnp.where(keep, x, H)  # overflow row absorbs masked points
+        flat = x * W + jnp.where(keep, y, 0)
+        upd = jnp.where(keep, sign, 0.0)
+        buf = jnp.zeros(((H + 1) * W,), counts.dtype).at[flat].add(upd)
+        touched = jnp.zeros(((H + 1) * W,), bool).at[flat].set(keep)
+        return (counts + buf[: H * W].reshape(H, W),
+                touched[: H * W].reshape(H, W))
+
+    counts, touched_o = scatter(grid.counts, obstacle,
+                                jnp.asarray(cfg.occupancy_increment))
+    counts, touched_g = scatter(counts, ground,
+                                jnp.asarray(-cfg.occupancy_decrement))
+    touched = touched_o | touched_g
+    occupied = touched & (counts > cfg.min_cluster_points)
+    free = touched & (counts < cfg.min_cluster_points)
+    drivable = jnp.where(occupied, jnp.int8(0),
+                         jnp.where(free, jnp.int8(1), grid.drivable))
+    return grid.replace(counts=counts, drivable=drivable)
+
+
+def occupancy_cloud(grid: OccupancyGrid, cfg: MlsConfig,
+                    capacity: int) -> PointCloud:
+    """Export occupied-cell centers as an obstacle cloud in world frame — the
+    map-target export analogue of MLS::getSegmentedClouds (mls.cpp:520-555).
+
+    Takes the `capacity` highest-count cells (occupied ones rank first)."""
+    H, W = grid.counts.shape
+    occ = (grid.drivable == 0)
+    score = jnp.where(occ, grid.counts, -1.0).reshape(-1)
+    top, idx = jax.lax.top_k(score, capacity)
+    sel = top > 0
+    ix = idx // W
+    iy = idx % W
+    x = (ix - H // 2 + 0.5) * cfg.resolution + grid.center[0]
+    y = (iy - W // 2 + 0.5) * cfg.resolution + grid.center[1]
+    xyz = jnp.stack([x, y, jnp.zeros_like(x)], axis=-1)
+    return PointCloud(xyz=jnp.where(sel[:, None], xyz, 0.0), valid=sel,
+                      flags=jnp.zeros(capacity, jnp.int32))

@@ -1,0 +1,58 @@
+"""Ground-adjacency classification — TPU-native rebuild of
+CCICP::classifyPoints (ccicp2d/src/icpTools.cpp:36-103) and the rectangular
+re-bin of pointcloud_filter.cpp:244-281.
+
+The reference bins obstacle points into a 0.5 m grid and marks a point
+ground-adjacent (GA) when its bin has >= GRD_ADJ_THRESH empty 8-neighbors
+(icpTools.h:24-26). Per-bin neighbor counting becomes one scatter + one 3x3
+stencil; the per-point flag is a gather.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from slam_tpu.types import PointCloud
+
+
+def classify_ground_adjacent(
+    cloud: PointCloud,
+    center_xy: jnp.ndarray,
+    num_bins: int,
+    resolution: float,
+    threshold: int = 2,
+) -> PointCloud:
+    """Set/clear FLAG_GA per point.
+
+    The reference grid is centered on the world origin with extent
+    NUMBINSGA*RESOLUTION (=600 m, icpTools.h:24-25); we center on `center_xy`
+    (robot/pose) so a small grid covers the cropped +-75 m working set.
+    Edge bins keep their previous flag (the reference `continue`s and drops
+    edge-bin points, icpTools.cpp:72-77; masking out would lose points, so we
+    classify them NGA — only affects points >=half-extent away).
+    """
+    B = num_bins
+    rel = cloud.xyz[..., :2] - center_xy
+    bx = jnp.floor(rel[..., 0] / resolution).astype(jnp.int32) + B // 2
+    by = jnp.floor(rel[..., 1] / resolution).astype(jnp.int32) + B // 2
+    inb = (bx >= 0) & (by >= 0) & (bx < B) & (by < B) & cloud.valid
+
+    flat = jnp.where(inb, bx * B + by, B * B)
+    counts = jnp.zeros((B * B + 1,), jnp.int32).at[flat].add(
+        jnp.where(inb, 1, 0))[: B * B].reshape(B, B)
+
+    empty = (counts == 0).astype(jnp.int32)
+    # 8-neighbor empty count: 3x3 box sum minus self
+    p = jnp.pad(empty, 1)
+    box = (p[:-2, :-2] + p[:-2, 1:-1] + p[:-2, 2:]
+           + p[1:-1, :-2] + p[1:-1, 2:]
+           + p[2:, :-2] + p[2:, 1:-1] + p[2:, 2:])
+    # interior test (icpTools.cpp:72): edge bins are not classified GA
+    ii = jnp.arange(B)
+    interior = ((ii > 0) & (ii < B - 1))[:, None] & ((ii > 0) & (ii < B - 1))[None, :]
+    ga_bin = (box >= threshold) & interior & (counts > 0)
+
+    ga_pt = jnp.where(inb, ga_bin.reshape(-1)[jnp.minimum(flat, B * B - 1)], False)
+    flags = jnp.where(ga_pt, cloud.flags | PointCloud.FLAG_GA,
+                      cloud.flags & ~PointCloud.FLAG_GA)
+    return cloud.replace(flags=flags)

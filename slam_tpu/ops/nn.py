@@ -1,0 +1,103 @@
+"""Nearest-neighbor correspondence search — the TPU-native replacement for the
+reference's KD-trees (ccicp2d/src/kdtree.{h,cpp}, pcl::KdTreeFLANN).
+
+KD-trees are pointer-chasing structures that map terribly onto the MXU/VPU.
+At SLAM scan sizes (<=20k points, icpTools.h:21) a tiled brute-force distance
+matrix is faster on TPU: the pairwise term -2*q@m.T is a matmul the MXU eats,
+and the row argmin is a VPU reduction. Class constraints (GA vs NGA,
+icpPointToPoint.cpp:59-126) become additive masks on the distance matrix
+instead of separate trees.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+BIG = jnp.float32(1e30)
+
+
+def pairwise_sq_dist(q: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
+    """Squared Euclidean distances (..., S, C) between q (..., S, D) and m (..., C, D).
+
+    Uses |q|^2 + |m|^2 - 2 q.m so the cross term is a single MXU matmul.
+    """
+    qq = jnp.sum(q * q, axis=-1, keepdims=True)            # (S, 1)
+    mm = jnp.sum(m * m, axis=-1, keepdims=True)            # (C, 1)
+    # precision=HIGHEST: TPU's default bf16 matmul would give O(m)-scale
+    # distance errors at 100 m coordinates (RMAX, groundSegmentation.cpp:36)
+    cross = jnp.einsum("...sd,...cd->...sc", q, m,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+    d2 = qq - 2.0 * cross + jnp.swapaxes(mm, -1, -2)
+    return jnp.maximum(d2, 0.0)
+
+
+def nearest_neighbor(
+    q: jnp.ndarray,
+    m: jnp.ndarray,
+    m_valid: jnp.ndarray,
+    q_class: jnp.ndarray | None = None,
+    m_class: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """For each query point return (nn_index, nn_sq_dist) into the model set.
+
+    Invalid model points get +BIG distance; when classes are given, cross-class
+    pairs get +BIG as well (the two-KD-tree split of icp.cpp:62-69).
+    Returns squared distances — matching the reference KDTree's `.dis` field,
+    which the inlier gate compares directly against inDist
+    (icpPointToPoint.cpp:76: result[0].dis < inDist).
+    """
+    d2 = pairwise_sq_dist(q, m)
+    penalty = jnp.where(m_valid, 0.0, BIG)[..., None, :]
+    if q_class is not None and m_class is not None:
+        mismatch = q_class[..., :, None] != m_class[..., None, :]
+        penalty = penalty + jnp.where(mismatch, BIG, 0.0)
+    d2 = d2 + penalty
+    idx = jnp.argmin(d2, axis=-1)
+    best = jnp.take_along_axis(d2, idx[..., None], axis=-1)[..., 0]
+    return idx, best
+
+
+def nearest_neighbor_tiled(
+    q: jnp.ndarray,
+    m: jnp.ndarray,
+    m_valid: jnp.ndarray,
+    q_class: jnp.ndarray | None = None,
+    m_class: jnp.ndarray | None = None,
+    tile: int = 2048,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Memory-tiled NN for large model sets: scans the model in chunks so the
+    (S, C) distance matrix never materializes beyond (S, tile).
+
+    Semantics identical to nearest_neighbor. Used when C*S would blow VMEM/HBM
+    at the reference's 20k x 20k budget (icpTools.h:21).
+    """
+    C = m.shape[-2]
+    if C <= tile:
+        return nearest_neighbor(q, m, m_valid, q_class, m_class)
+    num_tiles = (C + tile - 1) // tile
+    pad = num_tiles * tile - C
+    m_p = jnp.pad(m, [(0, pad), (0, 0)])
+    mv_p = jnp.pad(m_valid, [(0, pad)])
+    mc_p = jnp.pad(m_class, [(0, pad)]) if m_class is not None else None
+
+    def body(carry, t):
+        best_d, best_i = carry
+        sl = t * tile
+        mt = jax.lax.dynamic_slice_in_dim(m_p, sl, tile, axis=0)
+        vt = jax.lax.dynamic_slice_in_dim(mv_p, sl, tile, axis=0)
+        ct = (jax.lax.dynamic_slice_in_dim(mc_p, sl, tile, axis=0)
+              if mc_p is not None else None)
+        idx_t, d_t = nearest_neighbor(q, mt, vt, q_class, ct)
+        take = d_t < best_d
+        best_d = jnp.where(take, d_t, best_d)
+        best_i = jnp.where(take, idx_t + sl, best_i)
+        return (best_d, best_i), None
+
+    init = (jnp.full(q.shape[:-1], BIG, jnp.float32),
+            jnp.zeros(q.shape[:-1], jnp.int32))
+    (best_d, best_i), _ = jax.lax.scan(body, init, jnp.arange(num_tiles))
+    return best_i, best_d

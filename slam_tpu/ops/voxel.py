@@ -1,0 +1,98 @@
+"""Voxel-grid downsampling with fixed output capacity — replaces
+pcl::VoxelGrid (icpTools.cpp:620-633, graphSlamTools.cpp:279-286,
+mls.cpp:508-518, global_match.cpp:92-94).
+
+PCL's VoxelGrid emits one centroid per occupied voxel with a dynamic output
+size. On TPU we need static shapes, so: quantize -> sort by voxel id ->
+segment-centroid -> compact into a fixed-capacity masked cloud. Voxels beyond
+capacity are dropped (mirrors the reference's ICP_MAX_PTS truncation,
+icpTools.cpp:255-259).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from slam_tpu.types import PointCloud
+
+
+def voxel_downsample(
+    cloud: PointCloud,
+    leaf: Tuple[float, float, float],
+    out_capacity: int,
+    grid_cells: int = 1024,
+) -> PointCloud:
+    """Centroid-per-voxel downsample of a masked cloud (single robot; vmap over
+    batch). The voxel index space is bounded to `grid_cells` per axis (so the
+    linear id fits int32 without x64); coordinates beyond +-grid_cells*leaf/2
+    clamp into border voxels — irrelevant at SLAM ranges (RMAX=100 m,
+    groundSegmentation.cpp:36, vs the default +-256 m span at 0.5 m leaf).
+
+    Flags are combined per-voxel by majority (PCL averages all fields when
+    downsample_all_data_ is set — for the 0/1 flags used here majority matches
+    the rounded average).
+    """
+    xyz = cloud.xyz
+    leaf_arr = jnp.asarray(leaf, xyz.dtype)
+    K = grid_cells
+    q = jnp.clip(jnp.floor(xyz / leaf_arr).astype(jnp.int32) + K // 2, 0, K - 1)
+    # linear voxel id; invalid points get the max id so they sort to the end
+    vid = (q[:, 0] * K + q[:, 1]) * K + q[:, 2]
+    vid = jnp.where(cloud.valid, vid, jnp.iinfo(jnp.int32).max)
+
+    order = jnp.argsort(vid)
+    vid_s = vid[order]
+    xyz_s = xyz[order]
+    valid_s = cloud.valid[order]
+    flags_s = cloud.flags[order]
+
+    first = jnp.concatenate([jnp.array([True]), vid_s[1:] != vid_s[:-1]])
+    first = first & valid_s
+    slot = jnp.cumsum(first) - 1                      # dense voxel rank
+    slot = jnp.where(valid_s, slot, out_capacity)     # dump invalid past the end
+
+    sums = jnp.zeros((out_capacity + 1, 3), xyz.dtype).at[slot].add(xyz_s)
+    cnts = jnp.zeros((out_capacity + 1,), xyz.dtype).at[slot].add(1.0)
+    # majority per flag bit
+    fbits = jnp.stack([(flags_s >> b) & 1 for b in range(3)], axis=-1)
+    fsums = jnp.zeros((out_capacity + 1, 3), jnp.int32).at[slot].add(fbits)
+
+    cnt = cnts[:out_capacity]
+    out_valid = cnt > 0
+    centroid = sums[:out_capacity] / jnp.maximum(cnt, 1.0)[:, None]
+    maj = (fsums[:out_capacity] * 2 > cnt[:, None].astype(jnp.int32))
+    out_flags = (maj[:, 0] * 1 + maj[:, 1] * 2 + maj[:, 2] * 4).astype(jnp.int32)
+
+    return PointCloud(
+        xyz=jnp.where(out_valid[:, None], centroid, 0.0),
+        valid=out_valid,
+        flags=jnp.where(out_valid, out_flags, 0),
+    )
+
+
+def crop_box(cloud: PointCloud, center_xy: jnp.ndarray, half_extent: float
+             ) -> PointCloud:
+    """Axis-aligned crop around a pose — the +-75 m PassThrough pair of
+    CCICP::doICPMatch (icpTools.cpp:226-239). Points outside are masked,
+    not removed (static shapes)."""
+    d = jnp.abs(cloud.xyz[..., :2] - center_xy)
+    keep = cloud.valid & jnp.all(d <= half_extent, axis=-1)
+    return cloud.replace(valid=keep)
+
+
+def compact(cloud: PointCloud, out_capacity: int) -> PointCloud:
+    """Pack valid points to the front of a (possibly smaller) buffer.
+
+    Needed when many masked ops have sparsified a cloud and a tighter capacity
+    saves downstream compute. Order-preserving; overflow drops the tail
+    (icpTools.cpp:255-259 truncation semantics)."""
+    idx = jnp.cumsum(cloud.valid) - 1
+    slot = jnp.where(cloud.valid, idx, out_capacity)
+    slot = jnp.minimum(slot, out_capacity)
+    xyz = jnp.zeros((out_capacity + 1, 3), cloud.xyz.dtype).at[slot].set(cloud.xyz)
+    flags = jnp.zeros((out_capacity + 1,), jnp.int32).at[slot].set(cloud.flags)
+    valid = jnp.zeros((out_capacity + 1,), bool).at[slot].set(cloud.valid)
+    return PointCloud(xyz=xyz[:out_capacity], valid=valid[:out_capacity],
+                      flags=flags[:out_capacity])

@@ -1,0 +1,163 @@
+"""Fused 2D SLAM step — the minimum end-to-end slice (SURVEY.md §7 steps 1-6).
+
+One pure jitted function replaces the reference's cooperating ROS nodes
+(nasa_mapping/launch/nasa_mapping.launch:10-14): sensor -> scene build
+(classify + voxel) -> CCICP scan-to-map -> EKF fuse -> occupancy grid, with
+the EKF->ICP->map feedback loop of SURVEY.md §1 preserved inside a single XLA
+program. vmap over robots gives the fleet; pjit/shard_map scales over devices.
+
+Deterministic interleaving (the reference runs nodes at 100/ per-scan /50 Hz
+asynchronously): every sim tick runs motion-update + gyro update; a scan is
+taken every tick, registered, fused, and mapped. This matches the reference
+loop at its scan rate with the EKF sub-cycled via `ekf_substeps`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from slam_tpu.config import SlamConfig
+from slam_tpu.geometry import angle_wrap, se2_apply
+from slam_tpu.mapping.occupancy import (add_to_occupancy, init_occupancy,
+                                        shift_origin)
+from slam_tpu.models import ekf as ekf_mod
+from slam_tpu.ops.classify import classify_ground_adjacent
+from slam_tpu.ops.icp import icp_fit
+from slam_tpu.ops.voxel import crop_box, voxel_downsample
+from slam_tpu.sim import world2d
+from slam_tpu.sim.world2d import World2D
+from slam_tpu.types import (PointCloud, SlamState, cloud_from_xyz, make_cloud)
+
+
+def init_state(key: jnp.ndarray, cfg: SlamConfig) -> SlamState:
+    return SlamState(
+        ekf=ekf_mod.init_ekf(cfg.ekf),
+        pose=jnp.zeros(4),
+        scan_reg_pose=jnp.zeros(4),
+        scan_reg_ok=jnp.asarray(False),
+        local_map=init_occupancy(cfg.mls),
+        prev_scene=make_cloud(cfg.cloud.scene_capacity),
+        map_cloud=make_cloud(cfg.cloud.map_capacity),
+        graph=None,
+        step=jnp.int32(0),
+        true_pose=jnp.zeros(4),
+        rng=key,
+    )
+
+
+def build_scene(scan_xyz: jnp.ndarray, hit: jnp.ndarray,
+                cfg: SlamConfig) -> PointCloud:
+    """CCICP::setSceneCloud for the 2D path (icpTools.cpp:611-634): classify
+    ground adjacency on the raw scan, then voxel downsample to capacity."""
+    cloud = cloud_from_xyz(scan_xyz, valid=hit)
+    cloud = classify_ground_adjacent(
+        cloud, jnp.zeros(2), cfg.icp.ga_num_bins, cfg.icp.ga_resolution,
+        cfg.icp.ga_threshold)
+    return voxel_downsample(cloud, cfg.icp.voxel_leaf_obs,
+                            cfg.cloud.scene_capacity)
+
+
+def register_scan(scene: PointCloud, map_cloud: PointCloud,
+                  init_pose_xyyaw: jnp.ndarray, cfg: SlamConfig):
+    """scan_registration node (scan_registration.cpp:109-176): crop the map
+    target around the pose, re-classify it, run class-constrained ICP."""
+    target = crop_box(map_cloud, init_pose_xyyaw[:2], cfg.icp.crop_dist)
+    target = classify_ground_adjacent(
+        target, init_pose_xyyaw[:2], cfg.icp.ga_num_bins, cfg.icp.ga_resolution,
+        cfg.icp.ga_threshold)
+    return icp_fit(
+        scene.xyz[..., :2], scene.valid, scene.is_ga(),
+        target.xyz[..., :2], target.valid, target.is_ga(),
+        init_pose_xyyaw, cfg.icp)
+
+
+def update_map_cloud(map_cloud: PointCloud, scene: PointCloud,
+                     pose_xyyaw: jnp.ndarray, cfg: SlamConfig) -> PointCloud:
+    """Fold the registered scene into the persistent map target — the role of
+    graph_slam's republished global obstacle cloud (graph_slam.cpp:562-583),
+    maintained incrementally: transform to world, concat, voxel-merge."""
+    world_xy = se2_apply(pose_xyyaw, scene.xyz[..., :2])
+    world_xyz = jnp.concatenate([world_xy, scene.xyz[..., 2:]], axis=-1)
+    merged = PointCloud(
+        xyz=jnp.concatenate([map_cloud.xyz, world_xyz], axis=0),
+        valid=jnp.concatenate([map_cloud.valid, scene.valid], axis=0),
+        flags=jnp.concatenate([map_cloud.flags, scene.flags], axis=0),
+    )
+    return voxel_downsample(merged, cfg.icp.voxel_leaf_obs,
+                            cfg.cloud.map_capacity)
+
+
+def slam_step(state: SlamState, world: World2D, cfg: SlamConfig) -> SlamState:
+    """One full SLAM tick. Pure; jit/vmap/shard_map friendly."""
+    dt = cfg.sim.dt
+    key, k_noise, k_gyro = jax.random.split(state.rng, 3)
+
+    # --- simulation: drive + sense (ground truth) ---
+    cmd = world2d.drive_cmd(state.step, dt)
+    cmd = ekf_mod.clamp_cmd(cmd, cfg.ekf)
+    true2 = world2d.unicycle_step(state.true_pose[:3], cmd, dt)
+    ranges, hit = world2d.raycast(world, true2, cfg.sim, noise_key=k_noise)
+    scan_xyz, hit = world2d.scan_to_points(ranges, hit, cfg.sim)
+    gyro = cmd[2] + cfg.sim.gyro_bias + cfg.sim.gyro_noise * \
+        jax.random.normal(k_gyro)
+
+    # --- EKF predict + gyro update (nasa_ekf.cpp:421-446 order) ---
+    ekf = ekf_mod.motion_update(state.ekf, cmd, dt, cfg.ekf)
+    ekf = ekf_mod.yaw_rate_update(ekf, gyro, cfg.ekf)
+    pred = jnp.stack([ekf.mu[0], ekf.mu[1], ekf.mu[6]])
+
+    # --- scene build + scan registration ---
+    scene = build_scene(scan_xyz, hit, cfg)
+    icp = register_scan(scene, state.map_cloud, pred, cfg)
+
+    # --- EKF SLAM update (scan_registration.cpp:161-175 failure gating) ---
+    ekf = ekf_mod.slam_update(ekf, icp.pose, cfg.ekf, has_meas=icp.ok)
+    fused = jnp.stack([ekf.mu[0], ekf.mu[1], ekf.mu[6]])
+
+    # --- map + occupancy updates ---
+    # bootstrap: before the map exists, seed it from the prediction
+    map_pose = jnp.where(icp.ok, icp.pose, pred)
+    map_cloud = update_map_cloud(state.map_cloud, scene, map_pose, cfg)
+
+    grid = shift_origin(state.local_map, fused[:2], cfg.mls)
+    yaw_only = jnp.stack([fused[0] - grid.center[0],
+                          fused[1] - grid.center[1], fused[2]])
+    local_xy = se2_apply(yaw_only, scene.xyz[..., :2])
+    local_cloud = scene.replace(
+        xyz=jnp.concatenate([local_xy, scene.xyz[..., 2:]], axis=-1))
+    empty_ground = make_cloud(1)
+    grid = add_to_occupancy(grid, local_cloud, empty_ground, cfg.mls)
+
+    return state.replace(
+        ekf=ekf,
+        pose=jnp.concatenate([fused, jnp.zeros(1)]),
+        scan_reg_pose=jnp.concatenate([icp.pose, jnp.zeros(1)]),
+        scan_reg_ok=icp.ok,
+        local_map=grid,
+        prev_scene=scene,
+        map_cloud=map_cloud,
+        step=state.step + 1,
+        true_pose=jnp.concatenate([true2, jnp.zeros(1)]),
+        rng=key,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "num_steps"))
+def rollout(state: SlamState, world: World2D, cfg: SlamConfig, num_steps: int):
+    """Run num_steps ticks; returns (final_state, (est_traj, true_traj))."""
+
+    def body(s, _):
+        s = slam_step(s, world, cfg)
+        return s, (s.pose[:3], s.true_pose[:3])
+
+    return jax.lax.scan(body, state, None, length=num_steps)
+
+
+def ate(est: jnp.ndarray, true: jnp.ndarray) -> jnp.ndarray:
+    """Absolute trajectory error (RMSE of xy) — BASELINE.md accuracy metric."""
+    d = est[..., :2] - true[..., :2]
+    return jnp.sqrt(jnp.mean(jnp.sum(d * d, axis=-1)))

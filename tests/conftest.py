@@ -1,0 +1,19 @@
+"""Test harness: force an 8-device virtual CPU mesh so multi-chip sharding is
+testable without TPUs (SURVEY.md §4 implication (4)).
+
+Note: this image registers an `axon` TPU backend via sitecustomize and sets
+JAX_PLATFORMS=axon; the env var alone doesn't override it, so we force the
+platform through jax.config before any device is touched.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_threefry_partitionable", True)

@@ -1,0 +1,67 @@
+"""End-to-end 2D SLAM slice: trajectory accuracy + batching (BASELINE config 1)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slam_tpu.config import sim2d_config
+from slam_tpu.pipeline import slam2d
+from slam_tpu.sim import world2d
+
+
+def test_rollout_tracks_trajectory():
+    cfg = sim2d_config()
+    key = jax.random.PRNGKey(0)
+    world = world2d.make_world(jax.random.PRNGKey(42), cfg.sim)
+    state = slam2d.init_state(key, cfg)
+    final, (est, true) = slam2d.rollout(state, world, cfg, 60)
+    err = slam2d.ate(est[10:], true[10:])
+    # SLAM-corrected trajectory should stay tight; dead-reckoning with the
+    # gyro bias alone would drift far more.
+    assert float(err) < 0.3, f"ATE too large: {float(err)}"
+    assert bool(final.scan_reg_ok)
+    # map should be populated
+    assert int(final.map_cloud.count()) > 50
+
+
+def test_slam_beats_dead_reckoning():
+    cfg = sim2d_config()
+    # disable ICP corrections by making every scan fail the min-points gate
+    cfg_dr = cfg.replace(icp=cfg.icp.__class__(
+        **{**cfg.icp.__dict__, "min_scene_points": 10**6}))
+    world = world2d.make_world(jax.random.PRNGKey(42), cfg.sim)
+    k = jax.random.PRNGKey(1)
+    _, (est, true) = slam2d.rollout(slam2d.init_state(k, cfg), world, cfg, 80)
+    _, (est_dr, true_dr) = slam2d.rollout(
+        slam2d.init_state(k, cfg_dr), world, cfg_dr, 80)
+    err = float(slam2d.ate(est, true))
+    err_dr = float(slam2d.ate(est_dr, true_dr))
+    assert err < err_dr
+
+
+def test_vmapped_fleet():
+    """The north-star axis: vmap over robots, one XLA program."""
+    cfg = sim2d_config()
+    B = 4
+    keys = jax.random.split(jax.random.PRNGKey(7), B)
+    world = world2d.make_world(jax.random.PRNGKey(42), cfg.sim)
+    states = jax.vmap(lambda k: slam2d.init_state(k, cfg))(keys)
+
+    step = jax.jit(jax.vmap(lambda s: slam2d.slam_step(s, world, cfg)))
+    for _ in range(5):
+        states = step(states)
+    assert states.pose.shape == (B, 4)
+    assert int(states.step[0]) == 5
+    # different rngs -> same commands (deterministic drive) but same worlds;
+    # poses should agree closely across the fleet
+    spread = np.asarray(states.pose).std(axis=0)
+    assert (spread[:2] < 0.5).all()
+
+
+def test_occupancy_grid_marks_obstacles():
+    cfg = sim2d_config()
+    world = world2d.make_world(jax.random.PRNGKey(42), cfg.sim)
+    state = slam2d.init_state(jax.random.PRNGKey(0), cfg)
+    final, _ = slam2d.rollout(state, world, cfg, 30)
+    occupied = int(jnp.sum(final.local_map.drivable == 0))
+    assert occupied > 10
