@@ -66,8 +66,13 @@ def knn_keyframes(graph: PoseGraph, pose_xy: jnp.ndarray, k: int,
     d = jnp.linalg.norm(graph.node_pose[:, :2] - pose_xy, axis=-1)
     d = jnp.where(graph.node_valid, d, jnp.inf)
     d = jnp.where(jnp.arange(d.shape[0]) == exclude, jnp.inf, d)
-    neg, idx = jax.lax.top_k(-d, k)
-    return idx, jnp.isfinite(-neg)
+    kk = min(k, d.shape[0])  # graphs smaller than k (tiny max_nodes configs)
+    neg, idx = jax.lax.top_k(-d, kk)
+    ok = jnp.isfinite(-neg)
+    if kk < k:
+        idx = jnp.concatenate([idx, jnp.zeros(k - kk, idx.dtype)])
+        ok = jnp.concatenate([ok, jnp.zeros(k - kk, bool)])
+    return idx, ok
 
 
 def _edge_measurement(graph: PoseGraph, i: jnp.ndarray, j: jnp.ndarray,
@@ -138,9 +143,11 @@ def add_keyframe(graph: PoseGraph, pose: jnp.ndarray, cloud: PointCloud,
     n = graph.num_nodes
     safe_n = jnp.minimum(n, cfg.max_nodes - 1)
 
-    kf_xyz = cloud.xyz[: cfg.keyframe_points]
-    kf_valid = cloud.valid[: cfg.keyframe_points]
-    kf_flags = cloud.flags[: cfg.keyframe_points]
+    from slam_tpu.ops.voxel import compact
+    packed = compact(cloud, cfg.keyframe_points)
+    kf_xyz = packed.xyz
+    kf_valid = packed.valid
+    kf_flags = packed.flags
 
     new_graph = graph.replace(
         node_pose=graph.node_pose.at[safe_n].set(jnp.where(add, pose,

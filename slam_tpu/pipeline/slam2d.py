@@ -33,7 +33,12 @@ from slam_tpu.sim.world2d import World2D
 from slam_tpu.types import (PointCloud, SlamState, cloud_from_xyz, make_cloud)
 
 
-def init_state(key: jnp.ndarray, cfg: SlamConfig) -> SlamState:
+def init_state(key: jnp.ndarray, cfg: SlamConfig,
+               with_graph: bool = False) -> SlamState:
+    graph = None
+    if with_graph:
+        from slam_tpu.graph.pose_graph import init_graph
+        graph = init_graph(cfg.graph)
     return SlamState(
         ekf=ekf_mod.init_ekf(cfg.ekf),
         pose=jnp.zeros(4),
@@ -42,7 +47,7 @@ def init_state(key: jnp.ndarray, cfg: SlamConfig) -> SlamState:
         local_map=init_occupancy(cfg.mls),
         prev_scene=make_cloud(cfg.cloud.scene_capacity),
         map_cloud=make_cloud(cfg.cloud.map_capacity),
-        graph=None,
+        graph=graph,
         step=jnp.int32(0),
         true_pose=jnp.zeros(4),
         rng=key,
@@ -91,8 +96,15 @@ def update_map_cloud(map_cloud: PointCloud, scene: PointCloud,
                             cfg.cloud.map_capacity)
 
 
-def slam_step(state: SlamState, world: World2D, cfg: SlamConfig) -> SlamState:
-    """One full SLAM tick. Pure; jit/vmap/shard_map friendly."""
+def slam_step(state: SlamState, world: World2D, cfg: SlamConfig,
+              incremental_map: bool = True) -> SlamState:
+    """One full SLAM tick. Pure; jit/vmap/shard_map friendly.
+
+    incremental_map: fold each registered scene into the map target (the
+    standalone scan-to-map mode). Graph mode passes False — there the target
+    is regenerated from optimized keyframes only (reference dataflow:
+    scan_registration targets come solely from graph_slam's published clouds,
+    scan_registration.cpp:185-186)."""
     dt = cfg.sim.dt
     key, k_noise, k_gyro = jax.random.split(state.rng, 3)
 
@@ -120,8 +132,11 @@ def slam_step(state: SlamState, world: World2D, cfg: SlamConfig) -> SlamState:
 
     # --- map + occupancy updates ---
     # bootstrap: before the map exists, seed it from the prediction
-    map_pose = jnp.where(icp.ok, icp.pose, pred)
-    map_cloud = update_map_cloud(state.map_cloud, scene, map_pose, cfg)
+    if incremental_map:
+        map_pose = jnp.where(icp.ok, icp.pose, pred)
+        map_cloud = update_map_cloud(state.map_cloud, scene, map_pose, cfg)
+    else:
+        map_cloud = state.map_cloud
 
     grid = shift_origin(state.local_map, fused[:2], cfg.mls)
     yaw_only = jnp.stack([fused[0] - grid.center[0],
@@ -155,6 +170,61 @@ def rollout(state: SlamState, world: World2D, cfg: SlamConfig, num_steps: int):
         return s, (s.pose[:3], s.true_pose[:3])
 
     return jax.lax.scan(body, state, None, length=num_steps)
+
+
+def graph_update(state: SlamState, cfg: SlamConfig) -> SlamState:
+    """graph_slam node tick (graph_slam.cpp:479-585): gate/insert a keyframe
+    with edges, optimize, regenerate the scan-to-map target from keyframes.
+
+    Run at a slower cadence than slam_step (the reference caps it at 10 Hz and
+    gates keyframes at 5 m spacing) — see rollout_with_graph.
+
+    The optimized pose offset shifts only the map target, not the EKF: the
+    reference's EKF subscription to /mapping/graph_slam/pose_offset is
+    commented out (nasa_ekf.cpp:396-397), and local_mapper applies only the z
+    offset (local_mapper.cpp:48-51).
+    """
+    from slam_tpu.graph import pose_graph as pg
+
+    graph, added = pg.add_keyframe(
+        state.graph, state.pose, state.prev_scene, cfg.icp, cfg.graph,
+        min_points=cfg.cloud.min_scan_points)
+
+    def do_opt(g):
+        g, delta = pg.optimize(g, cfg.graph)
+        return g, delta
+
+    graph, delta = jax.lax.cond(
+        added & (graph.num_edges > 0), do_opt,
+        lambda g: (g, jnp.zeros(4, state.pose.dtype)), graph)
+
+    map_cloud = jax.lax.cond(
+        added,
+        lambda g: pg.regenerate_map(g, state.map_cloud.capacity,
+                                    cfg.icp.voxel_leaf_obs),
+        lambda g: state.map_cloud, graph)
+
+    return state.replace(graph=graph, map_cloud=map_cloud)
+
+
+@partial(jax.jit, static_argnames=("cfg", "num_macro", "graph_every"))
+def rollout_with_graph(state: SlamState, world: World2D, cfg: SlamConfig,
+                       num_macro: int, graph_every: int = 8):
+    """Full-stack rollout (BASELINE config 4): `graph_every` fused scan ticks
+    per graph-SLAM tick, mirroring the reference's 10 Hz graph loop under a
+    faster scan/EKF loop."""
+
+    def macro(s, _):
+        def tick(ss, _):
+            ss = slam_step(ss, world, cfg, incremental_map=False)
+            return ss, (ss.pose[:3], ss.true_pose[:3])
+        s, traj = jax.lax.scan(tick, s, None, length=graph_every)
+        s = graph_update(s, cfg)
+        return s, traj
+
+    final, traj = jax.lax.scan(macro, state, None, length=num_macro)
+    est, true = traj
+    return final, (est.reshape(-1, 3), true.reshape(-1, 3))
 
 
 def ate(est: jnp.ndarray, true: jnp.ndarray) -> jnp.ndarray:
