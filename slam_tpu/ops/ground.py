@@ -1,0 +1,188 @@
+"""GP-INSAC ground segmentation — TPU-native rebuild of
+ground_segmentation/src/groundSegmentation.cpp.
+
+Reference pipeline (sectorINSAC, groundSegmentation.cpp:196-468):
+  1. polar bin grid 72 sectors x 200 range bins (genPolarBinGrid, :110-162),
+     per-bin prototype = lowest-z point;
+  2. per sector: signal = valid prototypes (bins with >5 points, :211),
+     sorted by height; seeds = up to 10 lowest within 50 m, |h|<15 (:232-266);
+  3. INSAC: GP-regress ground height over the model set (squared-exp kernel
+     k = sf*exp(-dr^2/2l^2), genGPModel :165-185), adopt candidates passing
+     vf < P_TMODEL && |h - f_s|/sqrt(sn + vf^2) < P_TDATA (:334-337), repeat
+     until no adoption;
+  4. classify bin points: model bins -> ground if |z - proto_h| < P_TG else
+     obstacle (drivable-over if h > ROBot_HEIGHT); non-model bins (when the
+     model was sufficient) -> all obstacle, drivable flag vs f_s (:378-459).
+
+TPU reformulation: binning/prototypes are scatter-mins; each sector keeps a
+fixed-capacity height-sorted signal array; one INSAC sweep adopts *all*
+inliers against the current regression at once (within a reference sweep f_s
+is fixed — :331-369 — so per-sweep adoption order doesn't change the set),
+and sweeps run a fixed count with converged sectors frozen. All 72 sectors
+run batched; the (C x C) GP solves batch over sectors on the MXU.
+
+Semantics preserved exactly except: (a) reference recomputes nothing within a
+sweep => identical; (b) bins whose points are never classified (count<=5, or
+insufficient model) are dropped from all outputs, as in the reference.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from slam_tpu.config import GroundSegConfig
+from slam_tpu.types import PointCloud
+
+
+class GroundSegResult(NamedTuple):
+    cloud: PointCloud          # flags: GROUND / DRIVABLE(-over); valid &= classified
+    sector_sufficient: jnp.ndarray  # (S,) bool — model had >=2 seeds
+    model_mask: jnp.ndarray    # (S, C) adopted signal slots (diagnostics)
+    f_s: jnp.ndarray           # (S, C) regressed ground height per slot
+
+
+def _gp_kernel(r: jnp.ndarray, cfg: GroundSegConfig) -> jnp.ndarray:
+    """Squared-exp kernel matrix over ranges (genGPModel,
+    groundSegmentation.cpp:165-185). r: (..., C) -> (..., C, C)."""
+    d = r[..., :, None] - r[..., None, :]
+    return cfg.gp_signal_var * jnp.exp(-(d * d) / (2.0 * cfg.gp_length_scale**2))
+
+
+def segment_ground(cloud: PointCloud, cfg: GroundSegConfig) -> GroundSegResult:
+    """Classify a sensor-frame cloud into ground/obstacle/drivable-over.
+
+    cloud.xyz in the (roll/pitch-compensated) sensor frame, z up.
+    """
+    S, L, C = cfg.num_sectors, cfg.num_range_bins, cfg.signal_capacity
+    xyz = cloud.xyz
+    N = xyz.shape[0]
+    x, y, z = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+    r3 = jnp.sqrt(x * x + y * y + z * z)
+    r2 = jnp.sqrt(x * x + y * y)
+    phi = jnp.degrees(jnp.arctan2(y, x))
+    phi = jnp.where(phi < 0, phi + 360.0, phi)
+    sector = jnp.clip((phi / (360.0 / S)).astype(jnp.int32), 0, S - 1)
+    lbin = (r2 / (cfg.r_max / L)).astype(jnp.int32)
+    ok = cloud.valid & (r3 < cfg.r_max) & (lbin >= 0) & (lbin < L)
+    flat = jnp.where(ok, sector * L + lbin, S * L)
+
+    # --- per-bin stats: count + lowest-z prototype (exact, two-pass) ---
+    counts = jnp.zeros((S * L + 1,), jnp.int32).at[flat].add(
+        jnp.where(ok, 1, 0))
+    zq = jnp.clip(jnp.round((z + 500.0) * 1000.0), 0, 2**30).astype(jnp.int32)
+    zq = jnp.where(ok, zq, jnp.iinfo(jnp.int32).max)
+    min_zq = jnp.full((S * L + 1,), jnp.iinfo(jnp.int32).max,
+                      jnp.int32).at[flat].min(zq)
+    is_proto = ok & (zq == min_zq[flat])
+    proto_idx = jnp.full((S * L + 1,), N, jnp.int32).at[flat].min(
+        jnp.where(is_proto, jnp.arange(N), N))
+
+    bin_count = counts[: S * L].reshape(S, L)
+    pidx = proto_idx[: S * L].reshape(S, L)
+    safe_pidx = jnp.minimum(pidx, N - 1)
+    proto_r = jnp.where(pidx < N, r2[safe_pidx], 0.0)
+    proto_h = jnp.where(pidx < N, z[safe_pidx], 0.0)
+    sig_valid = (pidx < N) & (bin_count > cfg.min_bin_points)  # :211
+
+    # --- per-sector signal arrays, height-sorted, capacity C ---
+    sort_key = jnp.where(sig_valid, proto_h, jnp.inf)
+    order = jnp.argsort(sort_key, axis=1)[:, :C]                 # (S, C)
+    sl_h = jnp.take_along_axis(proto_h, order, axis=1)
+    sl_r = jnp.take_along_axis(proto_r, order, axis=1)
+    sl_valid = jnp.take_along_axis(sig_valid, order, axis=1)
+    sl_bin = order                                               # original bin
+
+    # --- seeds (groundSegmentation.cpp:232-266) ---
+    qual = sl_valid & (sl_r < cfg.seed_max_range) & \
+        (jnp.abs(sl_h) < cfg.seed_max_height)
+    npt = jnp.minimum(jnp.sum(sl_valid, 1), cfg.num_seed_points)  # (S,)
+    rank = jnp.cumsum(qual, axis=1)
+    seed = qual & (rank <= npt[:, None])
+    sufficient = jnp.sum(seed, 1) >= 2                            # :269
+
+    # --- INSAC sweeps ---
+    Kall = _gp_kernel(sl_r, cfg)                                  # (S, C, C)
+    eyeC = jnp.eye(C, dtype=Kall.dtype)
+
+    def sweep(carry, _):
+        m, active, f_prev, v_prev = carry  # m: (S, C) model mask
+        mf = m.astype(Kall.dtype)
+        # M = K restricted to the model + noise; identity elsewhere
+        M = Kall * mf[:, :, None] * mf[:, None, :] + \
+            cfg.gp_noise * mf[:, None, :] * eyeC + \
+            (1.0 - mf)[:, None, :] * eyeC
+        B = Kall * mf[:, None, :]                                 # cols masked
+        rhs = jnp.concatenate([(sl_h * mf)[:, :, None],
+                               jnp.swapaxes(B, 1, 2)], axis=2)    # (S, C, 1+C)
+        sol = jnp.linalg.solve(M, rhs)
+        alpha = sol[:, :, 0]
+        X = sol[:, :, 1:]                                         # (S, C, C)
+        f_s = jnp.einsum("scj,sj->sc", B, alpha)
+        v = cfg.gp_signal_var - jnp.einsum("scj,sjc->sc", B, X)
+
+        cand = sl_valid & ~m
+        met = (sl_h - f_s) / jnp.sqrt(cfg.gp_noise + v * v)
+        inlier = cand & (v < cfg.gp_model_confidence) & \
+            (jnp.abs(met) < cfg.gp_data_confidence)
+        inlier = inlier & active[:, None]
+        new_m = m | inlier
+        adopted = jnp.any(inlier, axis=1)
+        f_keep = jnp.where(active[:, None], f_s, f_prev)
+        v_keep = jnp.where(active[:, None], v, v_prev)
+        # terminate when nothing adopted or no candidates left (:374)
+        still = active & adopted & jnp.any(sl_valid & ~new_m, axis=1)
+        return (new_m, still, f_keep, v_keep), None
+
+    init = (seed, sufficient & jnp.any(sl_valid & ~seed, axis=1),
+            jnp.zeros_like(sl_h), jnp.zeros_like(sl_h))
+    (model, _, f_s, _), _ = jax.lax.scan(sweep, init, None,
+                                         length=cfg.max_insac_sweeps)
+
+    # --- scatter sweep results back to (S, L) bins, then gather per point ---
+    rows = jnp.arange(S)[:, None]
+    bin_model = jnp.zeros((S, L), bool).at[rows, sl_bin].max(model & sl_valid)
+    bin_f = jnp.zeros((S, L), f_s.dtype).at[rows, sl_bin].add(
+        jnp.where(sl_valid, f_s, 0.0))
+    # bins that made it into the capacity-C slot array; overflow bins (more
+    # than C valid signals in a sector) drop their points like invalid bins
+    bin_in = jnp.zeros((S, L), bool).at[rows, sl_bin].max(sl_valid)
+
+    p_sector = sector
+    p_bin = jnp.clip(lbin, 0, L - 1)
+    p_sig_valid = ok & bin_in[p_sector, p_bin]
+    p_model = bin_model[p_sector, p_bin]
+    p_proto_h = proto_h[p_sector, p_bin]
+    p_f = bin_f[p_sector, p_bin]
+    p_suff = sufficient[p_sector]
+
+    # model bins: ground if |proto_h - z| < P_TG (:393-414)
+    h_model = jnp.abs(p_proto_h - z)
+    is_ground = p_sig_valid & p_model & (h_model < cfg.ground_threshold)
+    obs_model = p_sig_valid & p_model & ~is_ground
+    # non-model bins classified only when the sector model was sufficient
+    # (:429-459); height vs regressed f_s
+    obs_nonmodel = p_sig_valid & ~p_model & p_suff
+    h_ref = jnp.where(p_model, h_model, jnp.abs(z - p_f))
+    is_obs = obs_model | obs_nonmodel
+    drivable_over = is_obs & (h_ref > cfg.robot_height)
+
+    classified = is_ground | is_obs
+    flags = jnp.where(is_ground, PointCloud.FLAG_GROUND, 0)
+    flags = flags | jnp.where(drivable_over, PointCloud.FLAG_DRIVABLE, 0)
+    out = cloud.replace(valid=classified,
+                        flags=flags.astype(jnp.int32))
+    return GroundSegResult(cloud=out, sector_sufficient=sufficient,
+                           model_mask=model, f_s=f_s)
+
+
+def split_ground_obstacle(res_cloud: PointCloud):
+    """Split a segmented cloud into (obstacle, ground, non-drivable-obstacle)
+    masks — the oCloud/gCloud/dCloud triple of setupGroundSegmentation."""
+    ground = res_cloud.valid & res_cloud.is_ground()
+    obstacle = res_cloud.valid & ~res_cloud.is_ground()
+    drv_over = (res_cloud.flags & PointCloud.FLAG_DRIVABLE) != 0
+    non_drivable = obstacle & ~drv_over
+    return obstacle, ground, non_drivable
