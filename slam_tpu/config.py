@@ -238,3 +238,27 @@ def sim2d_config() -> SlamConfig:
         mls=dataclasses.replace(c.mls, size_x=192, size_y=192, resolution=0.5,
                                 max_range=50.0, update_dist=96),
     )
+
+
+def sim3d_config() -> SlamConfig:
+    """Config for the 3D Velodyne simulation (BASELINE config 2): GP-INSAC
+    segmentation + scan registration + height interpolation + occupancy.
+
+    The sim Velodyne (32 rings x 64 azimuths = 2048 rays) is sparser than the
+    real HDL-32E (~70k pts), so bin-validity and sector counts scale down
+    while keeping the reference's algorithmic structure.
+    """
+    c = SlamConfig()
+    return dataclasses.replace(
+        c,
+        ground=dataclasses.replace(c.ground, num_sectors=16, num_range_bins=32,
+                                   signal_capacity=32, min_bin_points=2,
+                                   r_max=60.0, max_insac_sweeps=8),
+        icp=dataclasses.replace(c.icp, max_points=512, inlier_dist=1.0,
+                                crop_dist=55.0, ga_num_bins=192),
+        cloud=dataclasses.replace(c.cloud, scan_capacity=2048,
+                                  scene_capacity=512, ground_capacity=512,
+                                  map_capacity=2048),
+        mls=dataclasses.replace(c.mls, size_x=192, size_y=192, resolution=0.5,
+                                max_range=50.0, update_dist=96),
+    )

@@ -1,0 +1,75 @@
+"""Wheel-contact height interpolation — TPU-native rebuild of
+CCICP::doHeightInterpolate (ccicp2d/src/icpTools.cpp:301-419).
+
+Reference: place 4 wheel points at (+-0.5, +-0.5, -1.45) in the robot frame,
+transform by the pose, NN into the ground cloud (<3 m gate, :347), average the
+matched ground points, fit a plane normal over the 4 correspondences, and set
+z = ground_avg + normal * robot_height (:357-393). KD-tree NN becomes a tiny
+masked distance matrix; PCL's computePointNormal (smallest eigenvector of the
+3x3 scatter) becomes a closed-form cross-product normal over the centered
+correspondences (exact for <=4 points in general position; both reduce to the
+best-fit plane).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from slam_tpu.config import HeightConfig
+from slam_tpu.geometry import rot2
+from slam_tpu.ops.nn import nearest_neighbor
+from slam_tpu.types import PointCloud
+
+
+def _plane_normal(pts: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Unit normal of the best-fit plane through weighted points (4, 3):
+    smallest eigenvector of the weighted scatter matrix, computed via eigh
+    (PCL NormalEstimation::computePointNormal equivalent).
+
+    Degeneracy guard (beyond the reference's isnan check, icpTools.cpp:376):
+    when the matched points are coincident/collinear — common once the ground
+    map is voxelized and all wheels match one voxel centroid — the smallest
+    eigenvector is arbitrary and can zero out n_z, collapsing the pose onto
+    the ground. Fall back to the vertical normal in that case."""
+    wsum = jnp.maximum(jnp.sum(w), 1e-9)
+    mu = jnp.sum(w[:, None] * pts, axis=0) / wsum
+    d = (pts - mu) * w[:, None]
+    S = d.T @ d
+    vals, vecs = jnp.linalg.eigh(S)
+    n = vecs[:, 0]
+    n = n / jnp.maximum(jnp.linalg.norm(n), 1e-9)
+    degenerate = vals[1] < 1e-6  # plane not spanned by the correspondences
+    return jnp.where(degenerate, jnp.array([0.0, 0.0, 1.0], n.dtype), n)
+
+
+def height_interpolate(ground: PointCloud, pose_xyyawz: jnp.ndarray,
+                       cfg: HeightConfig) -> jnp.ndarray:
+    """Return the corrected z for a pose given a world-frame ground cloud.
+
+    pose_xyyawz: (4,) x, y, yaw, z. Keeps the old z when fewer than
+    min_corr_points wheel points find ground within sqrt(max_nn_dist_sq)
+    (icpTools.cpp:357,394-396 'Height could not be determined')."""
+    x, y, yaw, z0 = pose_xyyawz
+    wheels_local = jnp.array([
+        [-cfg.x_wheel_dist, -cfg.y_wheel_dist],
+        [-cfg.x_wheel_dist, cfg.y_wheel_dist],
+        [cfg.x_wheel_dist, -cfg.y_wheel_dist],
+        [cfg.x_wheel_dist, cfg.y_wheel_dist],
+    ])
+    R = rot2(yaw)
+    wxy = wheels_local @ R.T + jnp.stack([x, y])
+    wz = jnp.full((4,), z0 - cfg.robot_height)
+    wheels = jnp.concatenate([wxy, wz[:, None]], axis=-1)      # (4, 3)
+
+    idx, d2 = nearest_neighbor(wheels, ground.xyz, ground.valid)
+    ok = d2 < cfg.max_nn_dist_sq
+    corr = ground.xyz[idx]                                      # (4, 3)
+    w = ok.astype(corr.dtype)
+    n_ok = jnp.sum(ok)
+
+    avg = jnp.sum(w[:, None] * corr, axis=0) / jnp.maximum(jnp.sum(w), 1e-9)
+    n = _plane_normal(corr, w)
+    n = jnp.where(n[2] < 0, -n, n)                              # :378-381
+    new_z = n[2] * cfg.robot_height + avg[2]                    # :385
+    good = (n_ok >= cfg.min_corr_points) & jnp.all(jnp.isfinite(n))
+    return jnp.where(good, new_z, z0)

@@ -1,0 +1,126 @@
+"""Procedural 3D worlds + batched Velodyne HDL-32E-style raycaster — the 3D
+fixture for BASELINE config 2 (ground segmentation + scan registration).
+
+Terrain is a smooth analytic heightfield (sum of sines) so ray-ground
+intersection needs no data structures: fixed-step march + bisection refine,
+fully vectorized over (rings x azimuths). Obstacles are vertical cylinders
+with closed-form intersections. All pure jnp; vmappable over robots/worlds.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from slam_tpu.config import SimConfig
+
+
+class World3D(NamedTuple):
+    centers: jnp.ndarray   # (M, 2) cylinder centers
+    radii: jnp.ndarray     # (M,)
+    heights: jnp.ndarray   # (M,) cylinder height above local ground
+    terrain: jnp.ndarray   # (K, 4) sine params: ax, ay, phase, amp
+    extent: jnp.ndarray
+
+
+def terrain_height(world: World3D, xy: jnp.ndarray) -> jnp.ndarray:
+    """Ground elevation g(x, y): sum of smooth sines. xy: (..., 2)."""
+    t = world.terrain
+    arg = (xy[..., 0:1] * t[:, 0] + xy[..., 1:2] * t[:, 1] + t[:, 2])
+    return jnp.sum(t[:, 3] * jnp.sin(arg), axis=-1)
+
+
+def make_world(key: jnp.ndarray, cfg: SimConfig, terrain_amp: float = 0.6,
+               num_waves: int = 4) -> World3D:
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    M = cfg.num_obstacles
+    pos = jax.random.uniform(k1, (M, 2), minval=-cfg.world_extent * 0.9,
+                             maxval=cfg.world_extent * 0.9)
+    r = jnp.linalg.norm(pos, axis=-1)
+    pos = jnp.where((r < 8.0)[:, None], pos * (8.0 / (r[:, None] + 1e-6)), pos)
+    radii = jax.random.uniform(k2, (M,), minval=cfg.obstacle_radius_min,
+                               maxval=cfg.obstacle_radius_max)
+    heights = jax.random.uniform(k3, (M,), minval=0.5, maxval=3.0)
+    freq = jax.random.uniform(k4, (num_waves, 2), minval=0.02, maxval=0.08)
+    phase = jnp.linspace(0, 3.0, num_waves)[:, None]
+    amp = jnp.full((num_waves, 1), terrain_amp / num_waves)
+    terrain = jnp.concatenate([freq, phase, amp], axis=-1)
+    return World3D(centers=pos, radii=radii, heights=heights, terrain=terrain,
+                   extent=jnp.asarray(cfg.world_extent))
+
+
+def ray_directions(cfg: SimConfig, yaw: jnp.ndarray) -> jnp.ndarray:
+    """(R*A, 3) unit directions for rings x azimuths, rotated by yaw."""
+    elev = jnp.linspace(cfg.ring_elevation_min, cfg.ring_elevation_max,
+                        cfg.num_rings)
+    az = yaw + jnp.arange(cfg.num_azimuth) * (2 * jnp.pi / cfg.num_azimuth)
+    ce, se = jnp.cos(elev)[:, None], jnp.sin(elev)[:, None]
+    ca, sa = jnp.cos(az)[None, :], jnp.sin(az)[None, :]
+    d = jnp.stack([ce * ca, ce * sa,
+                   jnp.broadcast_to(se, (cfg.num_rings, cfg.num_azimuth))], -1)
+    return d.reshape(-1, 3)
+
+
+def raycast(world: World3D, pose_xyyaw: jnp.ndarray, cfg: SimConfig,
+            noise_key=None, march_steps: int = 48, refine_steps: int = 12):
+    """Cast the Velodyne pattern from the sensor above the terrain.
+
+    Returns (points (R*A, 3) in SENSOR frame (world-oriented, sensor-centered),
+    hit mask). Sensor origin: (x, y, g(x,y) + sensor_height).
+    """
+    x, y, yaw = pose_xyyaw[0], pose_xyyaw[1], pose_xyyaw[2]
+    o = jnp.stack([x, y, terrain_height(world, jnp.stack([x, y]))
+                   + cfg.sensor_height])
+    d = ray_directions(cfg, yaw)          # world-frame dirs (for intersection)
+    d_local = ray_directions(cfg, jnp.zeros_like(yaw))  # sensor-frame output
+    tmax = cfg.beam_max_range
+
+    # terrain: fixed march to bracket the first crossing, then bisection
+    ts = jnp.linspace(0.0, tmax, march_steps)                     # (T,)
+    pts = o[None, None, :] + ts[None, :, None] * d[:, None, :]    # (N, T, 3)
+    above = pts[..., 2] > terrain_height(world, pts[..., :2])
+    crossed = above[:, :-1] & ~above[:, 1:]                       # (N, T-1)
+    first = jnp.argmax(crossed, axis=1)
+    has_cross = jnp.any(crossed, axis=1)
+    lo = ts[first]
+    hi = ts[first + 1]
+
+    def bisect(carry, _):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        p = o[None, :] + mid[:, None] * d
+        above_m = p[:, 2] > terrain_height(world, p[:, :2])
+        lo = jnp.where(above_m, mid, lo)
+        hi = jnp.where(above_m, hi, mid)
+        return (lo, hi), None
+
+    (lo, hi), _ = jax.lax.scan(bisect, (lo, hi), None, length=refine_steps)
+    t_terr = jnp.where(has_cross, 0.5 * (lo + hi), jnp.inf)
+
+    # cylinders: 2D circle intersection + z-range check
+    oc = o[:2] - world.centers                                    # (M, 2)
+    dxy = d[:, :2]                                                # (N, 2)
+    a = jnp.sum(dxy * dxy, axis=-1)[:, None]                      # (N, 1)
+    b_half = jnp.einsum("ni,mi->nm", dxy, oc)
+    c_term = jnp.sum(oc * oc, -1)[None, :] - (world.radii**2)[None, :]
+    disc = b_half**2 - a * c_term
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t_cyl = (-b_half - sq) / jnp.maximum(a, 1e-9)
+    pz = o[2] + t_cyl * d[:, 2:3]
+    ground_at = terrain_height(world, world.centers)              # (M,)
+    in_z = (pz > ground_at[None, :]) & \
+        (pz < (ground_at + world.heights)[None, :])
+    t_cyl = jnp.where((disc > 0) & (t_cyl > 1e-3) & in_z, t_cyl, jnp.inf)
+    t_cyl = jnp.min(t_cyl, axis=-1)
+
+    t = jnp.minimum(t_terr, t_cyl)
+    hit = jnp.isfinite(t) & (t < tmax)
+    t = jnp.where(hit, t, tmax)
+    if noise_key is not None:
+        t = t + cfg.range_noise * jax.random.normal(noise_key, t.shape)
+    # points in the robot's sensor frame: ranges along the local ray pattern
+    # (the robot doesn't know its true yaw — ICP solves for it)
+    pts = t[:, None] * d_local
+    return pts, hit

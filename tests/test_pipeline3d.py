@@ -1,0 +1,52 @@
+"""End-to-end 3D Velodyne SLAM (BASELINE config 2): segmentation + ICP +
+height interpolation + occupancy on procedural terrain."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slam_tpu.config import sim3d_config
+from slam_tpu.pipeline import slam2d, slam3d
+from slam_tpu.sim import world3d
+from slam_tpu.types import make_cloud
+
+
+def test_raycast_geometry():
+    cfg = sim3d_config()
+    world = world3d.make_world(jax.random.PRNGKey(1), cfg.sim)
+    pts, hit = world3d.raycast(world, jnp.array([0.0, 0.0, 0.3]), cfg.sim)
+    pts, hit = np.asarray(pts), np.asarray(hit)
+    assert hit.sum() > 500, "most downward rays should hit terrain"
+    # ground points should sit ~sensor_height below the sensor
+    low = pts[hit & (pts[:, 2] < -0.5)]
+    assert len(low) > 100
+    assert abs(np.median(low[:, 2]) + cfg.sim.sensor_height) < 1.0
+
+
+def test_rollout3d_tracks():
+    cfg = sim3d_config()
+    world = world3d.make_world(jax.random.PRNGKey(42), cfg.sim)
+    state = slam3d.init_state_3d(jax.random.PRNGKey(0), cfg, world)
+    gmap = make_cloud(cfg.cloud.map_capacity)
+    final, gmap, (est, true) = slam3d.rollout_3d(state, world, gmap, cfg, 40)
+    est, true = np.asarray(est), np.asarray(true)
+    err = slam2d.ate(jnp.array(est[10:, :3]), jnp.array(true[10:, :3]))
+    assert float(err) < 0.5, f"3D ATE too large: {float(err)}"
+    # height tracking: estimated z should follow terrain z
+    z_err = np.abs(est[15:, 3] - true[15:, 3]).mean()
+    assert z_err < 0.4, f"z error {z_err}"
+    # occupancy map should contain obstacles
+    assert int((final.local_map.drivable == 0).sum()) > 5
+    assert int(gmap.count()) > 100
+
+
+def test_step3d_vmappable():
+    cfg = sim3d_config()
+    world = world3d.make_world(jax.random.PRNGKey(42), cfg.sim)
+    B = 2
+    keys = jax.random.split(jax.random.PRNGKey(3), B)
+    states = jax.vmap(lambda k: slam2d.init_state(k, cfg))(keys)
+    gmaps = jax.vmap(lambda _: make_cloud(cfg.cloud.map_capacity))(keys)
+    step = jax.jit(jax.vmap(lambda s, g: slam3d.slam_step_3d(s, world, g, cfg)))
+    out, gm = step(states, gmaps)
+    assert out.pose.shape == (B, 4)
