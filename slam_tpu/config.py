@@ -148,6 +148,7 @@ class GlobalMatchConfig:
     num_rotations: int = 64              # rotation slices over 360 deg
     grid_size: int = 256                 # correlation grid cells
     grid_resolution: float = 0.5         # [m/cell]
+    smooth_radius: int = 2               # map-raster dilation (likelihood field)
 
 
 @dataclasses.dataclass(frozen=True)

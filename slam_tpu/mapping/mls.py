@@ -1,0 +1,305 @@
+"""Multi-level-surface (MLS) grid — TPU-native rebuild of the cluster path of
+mls/src/mls.cpp (addToMap/updateCell, :152-406).
+
+The reference keeps a dynamic vector of Gaussian z-clusters per cell, updated
+point-by-point with recursive neighbor drivability checks (mls.cpp:313). Here
+each cell holds a fixed-K cluster bank (means sorted by z) and a scan updates
+in three phases:
+
+  A. associate every point to a cluster (the reference's per-point search,
+     mls.cpp:158-197: initialized clusters match within sigma*3 + 0.5 m of the
+     mean z, else the nearest uninitialized cluster within robot_height, else
+     a new cluster);
+  B. segment-aggregate all points per (cell, cluster) slot;
+  C. merge the aggregates into the running Gaussians (Chan/Welford batch
+     merge), spawn at most one new cluster per cell per scan from unmatched
+     points, re-sort by z, merge the ground pair when clearance <
+     cluster_combine_dist (mls.cpp:282-298), and run the drivability stencil.
+
+Deviations (documented tolerances): within one scan, points in the same cell
+update the cluster as a batch rather than sequentially (the running stats they
+produce agree up to reassociation of points that straddle the gate while it
+moves); the recursive neighbor update (mls.cpp:313) becomes one synchronous
+stencil pass per scan; at most one cluster spawns per cell per scan.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from slam_tpu.config import MlsConfig
+from slam_tpu.types import MlsGrid, PointCloud
+
+
+def init_mls(cfg: MlsConfig, dtype=jnp.float32) -> MlsGrid:
+    H, W, K = cfg.size_x, cfg.size_y, cfg.max_clusters
+    return MlsGrid(
+        mean=jnp.zeros((H, W, K, 3), dtype),
+        var_z=jnp.zeros((H, W, K), dtype),
+        num_pts=jnp.zeros((H, W, K), dtype),
+        drivable=-jnp.ones((H, W), jnp.int8),
+        origin=jnp.zeros(2, jnp.int32),
+        center=jnp.zeros(2, dtype),
+    )
+
+
+def shift_origin_mls(grid: MlsGrid, new_center_xy: jnp.ndarray,
+                     cfg: MlsConfig) -> MlsGrid:
+    """Rolling-origin shift (MLS::setPose, mls.cpp:408-479)."""
+    res = jnp.asarray(cfg.resolution, grid.center.dtype)
+    d = jnp.round((new_center_xy - grid.center) / res).astype(jnp.int32)
+    center = grid.center + d.astype(grid.center.dtype) * res
+    roll2 = lambda a: jnp.roll(a, shift=(-d[0], -d[1]), axis=(0, 1))
+    mean = roll2(grid.mean)
+    var_z = roll2(grid.var_z)
+    num = roll2(grid.num_pts)
+    drv = roll2(grid.drivable)
+    H, W = drv.shape
+    ii = jnp.arange(H)[:, None]
+    jj = jnp.arange(W)[None, :]
+    fresh = ((ii + d[0] < 0) | (ii + d[0] >= H) |
+             (jj + d[1] < 0) | (jj + d[1] >= W))
+    mean = jnp.where(fresh[..., None, None], 0.0, mean)
+    var_z = jnp.where(fresh[..., None], 0.0, var_z)
+    num = jnp.where(fresh[..., None], 0.0, num)
+    drv = jnp.where(fresh, jnp.int8(-1), drv)
+    return grid.replace(mean=mean, var_z=var_z, num_pts=num, drivable=drv,
+                        center=center)
+
+
+def _associate(grid: MlsGrid, cx, cy, z, inb, cfg: MlsConfig):
+    """Phase A: per-point cluster slot (mls.cpp:158-197). Returns slot in
+    [0, K] where K means 'new cluster'."""
+    K = cfg.max_clusters
+    means_z = grid.mean[cx, cy, :, 2]                     # (N, K)
+    var = grid.var_z[cx, cy]
+    num = grid.num_pts[cx, cy]
+    dist = jnp.abs(means_z - z[:, None])
+    initialized = num >= cfg.min_cluster_points
+    gate = jnp.sqrt(jnp.maximum(var, 0.0)) * cfg.cluster_sigma_factor + \
+        cfg.cluster_dist_threshold
+    in_gate = initialized & (dist < gate) & (num > 0)
+    # first matching initialized cluster (clusters kept z-sorted)
+    any_init = jnp.any(in_gate, axis=1)
+    first_init = jnp.argmax(in_gate, axis=1)
+    # nearest uninitialized (0 < num < min) cluster
+    uninit = (num > 0) & ~initialized
+    d_un = jnp.where(uninit, dist, jnp.inf)
+    near_un = jnp.argmin(d_un, axis=1)
+    un_ok = jnp.take_along_axis(d_un, near_un[:, None], 1)[:, 0] < \
+        cfg.robot_height
+    # empty slot for a new cluster (first with num == 0)
+    has_empty = jnp.any(num <= 0, axis=1)
+    slot = jnp.where(any_init, first_init,
+                     jnp.where(un_ok, near_un,
+                               jnp.where(has_empty, K, K + 1)))
+    # K => spawn new cluster; K+1 => cell full, point dropped (mls.cpp:189-192)
+    return jnp.where(inb, slot, K + 1)
+
+
+def add_to_mls(grid: MlsGrid, cloud: PointCloud, cfg: MlsConfig) -> MlsGrid:
+    """Fold a robot-centered, world-oriented cloud into the cluster grid and
+    refresh drivability (MLS::addToMap + updateCell, mls.cpp:345-406,152-342).
+    """
+    H, W, K = grid.num_pts.shape
+    xyz = cloud.xyz
+    z = xyz[:, 2]
+    cx = jnp.floor(xyz[:, 0] / cfg.resolution).astype(jnp.int32) + H // 2
+    cy = jnp.floor(xyz[:, 1] / cfg.resolution).astype(jnp.int32) + W // 2
+    rng = jnp.linalg.norm(xyz[:, :2], axis=-1)
+    inb = cloud.valid & (cx >= 0) & (cy >= 0) & (cx < H) & (cy < W) & \
+        (rng <= cfg.max_range)
+    cxs = jnp.clip(cx, 0, H - 1)
+    cys = jnp.clip(cy, 0, W - 1)
+
+    slot = _associate(grid, cxs, cys, z, inb, cfg)
+
+    # Phase B: segment sums per (cell, slot). slot K = new cluster aggregates
+    # into a virtual bank; K+1 (dropped) goes to an overflow row.
+    flat = (cxs * W + cys) * (K + 2) + jnp.minimum(slot, K + 1)
+    flat = jnp.where(inb, flat, H * W * (K + 2))
+    size = H * W * (K + 2) + 1
+    w = inb.astype(xyz.dtype)
+    cnt = jnp.zeros((size,), xyz.dtype).at[flat].add(w)
+    sx = jnp.zeros((size,), xyz.dtype).at[flat].add(w * xyz[:, 0])
+    sy = jnp.zeros((size,), xyz.dtype).at[flat].add(w * xyz[:, 1])
+    sz = jnp.zeros((size,), xyz.dtype).at[flat].add(w * z)
+    szz = jnp.zeros((size,), xyz.dtype).at[flat].add(w * z * z)
+
+    def grab(a):
+        return a[: H * W * (K + 2)].reshape(H, W, K + 2)
+
+    cnt, sx, sy, sz, szz = map(grab, (cnt, sx, sy, sz, szz))
+    c_exist = cnt[..., :K]
+    c_new = cnt[..., K]
+
+    # Phase C1: merge batch stats into existing clusters (Chan parallel merge;
+    # the reference's per-point running update mls.cpp:217-234 is its n=1 case)
+    n0 = grid.num_pts
+    n1 = jnp.minimum(n0 + c_exist, cfg.max_cluster_points)  # cap mls.cpp:202
+    tot = jnp.maximum(n0 + c_exist, 1e-9)
+    bm_x = sx[..., :K] / jnp.maximum(c_exist, 1e-9)
+    bm_y = sy[..., :K] / jnp.maximum(c_exist, 1e-9)
+    bm_z = sz[..., :K] / jnp.maximum(c_exist, 1e-9)
+    f = c_exist / tot
+    upd = c_exist > 0
+    mean_x = jnp.where(upd, grid.mean[..., 0] * (1 - f) + bm_x * f,
+                       grid.mean[..., 0])
+    mean_y = jnp.where(upd, grid.mean[..., 1] * (1 - f) + bm_y * f,
+                       grid.mean[..., 1])
+    mean_z0 = grid.mean[..., 2]
+    mean_z = jnp.where(upd, mean_z0 * (1 - f) + bm_z * f, mean_z0)
+    b_var = jnp.maximum(szz[..., :K] / jnp.maximum(c_exist, 1e-9)
+                        - bm_z * bm_z, 0.0)
+    d2 = (bm_z - mean_z0) ** 2
+    var_m = (n0 * grid.var_z + c_exist * b_var) / tot + \
+        (n0 * c_exist) / (tot * tot) * d2
+    var_z = jnp.where(upd & (n1 > 1),
+                      jnp.maximum(var_m, cfg.min_var_z), grid.var_z)
+    num = jnp.where(upd, n1, n0)
+
+    # Phase C2: spawn one new cluster per cell from unmatched points
+    spawn = c_new > 0
+    empty_slot = jnp.argmax(grid.num_pts <= 0, axis=-1)            # (H, W)
+    has_empty = jnp.any(grid.num_pts <= 0, axis=-1)
+    do = spawn & has_empty
+    ii = jnp.arange(H)[:, None] + jnp.zeros((1, W), jnp.int32)
+    jj = jnp.arange(W)[None, :] + jnp.zeros((H, 1), jnp.int32)
+    nm_x = sx[..., K] / jnp.maximum(c_new, 1e-9)
+    nm_y = sy[..., K] / jnp.maximum(c_new, 1e-9)
+    nm_z = sz[..., K] / jnp.maximum(c_new, 1e-9)
+    nv = jnp.maximum(szz[..., K] / jnp.maximum(c_new, 1e-9) - nm_z**2,
+                     cfg.min_var_z)
+    sel = (ii, jj, empty_slot)
+    mean_x = mean_x.at[sel].set(jnp.where(do, nm_x, mean_x[sel]))
+    mean_y = mean_y.at[sel].set(jnp.where(do, nm_y, mean_y[sel]))
+    mean_z = mean_z.at[sel].set(jnp.where(do, nm_z, mean_z[sel]))
+    var_z = var_z.at[sel].set(jnp.where(do, nv, var_z[sel]))
+    num = num.at[sel].set(jnp.where(
+        do, jnp.minimum(c_new, cfg.max_cluster_points), num[sel]))
+
+    # re-sort clusters by mean z (empty slots last; mls.cpp:236)
+    key = jnp.where(num > 0, mean_z, jnp.inf)
+    order = jnp.argsort(key, axis=-1)
+    g = lambda a: jnp.take_along_axis(a, order, axis=-1)
+    mean_x, mean_y, mean_z, var_z, num = map(g, (mean_x, mean_y, mean_z,
+                                                 var_z, num))
+
+    # ground-pair merge (mls.cpp:282-298): if clearance between the ground
+    # cluster and the next initialized one is < combine_dist, merge them
+    initialized = num >= cfg.min_cluster_points
+    gidx = jnp.argmax(initialized, axis=-1)
+    has_g = jnp.any(initialized, axis=-1)
+    gi = (ii, jj, gidx)
+    ni = (ii, jj, jnp.minimum(gidx + 1, K - 1))
+    next_ok = (gidx + 1 < K) & (num[ni] >= cfg.min_cluster_points) & has_g
+    clearance = mean_z[ni] - jnp.sqrt(jnp.maximum(var_z[ni], 0.0)) * 2 - \
+        mean_z[gi]
+    do_merge = next_ok & (clearance < cfg.cluster_combine_dist)
+    ntot = jnp.maximum(num[gi] + num[ni], 1e-9)
+    r0, r1 = num[gi] / ntot, num[ni] / ntot
+    for arr_name, arr in (("x", mean_x), ("y", mean_y), ("z", mean_z)):
+        merged = r0 * arr[gi] + r1 * arr[ni]
+        arr = arr.at[gi].set(jnp.where(do_merge, merged, arr[gi]))
+        if arr_name == "x":
+            mean_x = arr
+        elif arr_name == "y":
+            mean_y = arr
+        else:
+            mean_z = arr
+    var_z = var_z.at[gi].set(jnp.where(
+        do_merge, r0 * var_z[gi] + r1 * var_z[ni], var_z[gi]))
+    num = num.at[gi].set(jnp.where(do_merge, jnp.minimum(
+        num[gi] + num[ni], cfg.max_cluster_points), num[gi]))
+    num = num.at[ni].set(jnp.where(do_merge, 0.0, num[ni]))
+    # keep sorted after removal
+    key = jnp.where(num > 0, mean_z, jnp.inf)
+    order = jnp.argsort(key, axis=-1)
+    g = lambda a: jnp.take_along_axis(a, order, axis=-1)
+    mean_x, mean_y, mean_z, var_z, num = map(g, (mean_x, mean_y, mean_z,
+                                                 var_z, num))
+
+    mean = jnp.stack([mean_x, mean_y, mean_z], axis=-1)
+    grid = grid.replace(mean=mean, var_z=var_z, num_pts=num)
+
+    # drivability stencil (mls.cpp:240-342), one synchronous pass
+    touched = jnp.zeros((H * W + 1,), bool).at[
+        jnp.where(inb, cxs * W + cys, H * W)].set(inb)[: H * W].reshape(H, W)
+    drv = _drivability(grid, touched, cfg)
+    return grid.replace(drivable=drv)
+
+
+def _drivability(grid: MlsGrid, touched: jnp.ndarray,
+                 cfg: MlsConfig) -> jnp.ndarray:
+    H, W, K = grid.num_pts.shape
+    num = grid.num_pts
+    mean_z = grid.mean[..., 2]
+    var_z = grid.var_z
+    initialized = num >= cfg.min_cluster_points
+    has_g = jnp.any(initialized, axis=-1)
+    gidx = jnp.argmax(initialized, axis=-1)
+    ii = jnp.arange(H)[:, None] + jnp.zeros((1, W), jnp.int32)
+    jj = jnp.arange(W)[None, :] + jnp.zeros((H, 1), jnp.int32)
+    gi = (ii, jj, gidx)
+    ground_z = mean_z[gi]
+    ground_var = var_z[gi]
+
+    # intra-cell clearance to the next initialized cluster (mls.cpp:282-303)
+    ni = (ii, jj, jnp.minimum(gidx + 1, K - 1))
+    next_ok = (gidx + 1 < K) & (num[ni] >= cfg.min_cluster_points)
+    clearance = mean_z[ni] - jnp.sqrt(jnp.maximum(var_z[ni], 0.0)) * 2 - ground_z
+    blocked_intra = next_ok & (clearance < cfg.drive_dist_threshold)
+
+    # neighbor height diff (mls.cpp:307-328): vs neighbors' cluster-0 mean
+    z0 = mean_z[..., 0]
+    n0_ok = num[..., 0] >= cfg.min_cluster_points
+    pz = jnp.pad(jnp.where(n0_ok, z0, jnp.inf), 1, constant_values=jnp.inf)
+    diffs = []
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            if di == 0 and dj == 0:
+                continue
+            nz = pz[1 + di: 1 + di + H, 1 + dj: 1 + dj + W]
+            diffs.append(jnp.where(jnp.isfinite(nz), z0 - nz, -jnp.inf))
+    max_diff = jnp.stack(diffs).max(axis=0)
+    blocked_nbr = n0_ok & (max_diff > cfg.height_threshold)
+
+    blocked_var = jnp.abs(ground_var) > cfg.normal_threshold  # mls.cpp:332
+
+    drivable = jnp.where(
+        has_g & touched,
+        jnp.where(blocked_intra | blocked_nbr | blocked_var,
+                  jnp.int8(0), jnp.int8(1)),
+        grid.drivable)
+    return drivable
+
+
+def get_segmented_clouds(grid: MlsGrid, cfg: MlsConfig, capacity: int):
+    """Export cluster means as obstacle/ground clouds in world frame
+    (MLS::getSegmentedClouds, mls.cpp:520-555): ground cluster of drivable
+    cells -> ground; everything else initialized -> obstacle."""
+    H, W, K = grid.num_pts.shape
+    initialized = grid.num_pts >= cfg.min_cluster_points
+    gidx = jnp.argmax(initialized, axis=-1)
+    kk = jnp.arange(K)[None, None, :]
+    is_ground_cluster = initialized & (kk == gidx[..., None]) & \
+        (grid.drivable == 1)[..., None]
+    is_obstacle = initialized & ~is_ground_cluster
+
+    offset = jnp.array([(grid.center[0] - (H // 2) * cfg.resolution),
+                        (grid.center[1] - (W // 2) * cfg.resolution), 0.0])
+    # cell-local means are stored robot-centered; lift to world
+    xyz = grid.mean.reshape(-1, 3) + offset
+    obs_score = jnp.where(is_obstacle.reshape(-1), grid.num_pts.reshape(-1),
+                          -1.0)
+    gnd_score = jnp.where(is_ground_cluster.reshape(-1),
+                          grid.num_pts.reshape(-1), -1.0)
+
+    def top(score):
+        v, idx = jax.lax.top_k(score, capacity)
+        sel = v > 0
+        return PointCloud(xyz=jnp.where(sel[:, None], xyz[idx], 0.0),
+                          valid=sel, flags=jnp.zeros(capacity, jnp.int32))
+
+    return top(obs_score), top(gnd_score)

@@ -1,0 +1,83 @@
+"""Correlative relocalization tests: exhaustive FFT search recovers large
+displacements random-restart GICP was built for (global_match.cpp parity)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slam_tpu.config import GlobalMatchConfig, IcpConfig
+from slam_tpu.ops.fft_match import global_match, rasterize
+from slam_tpu.types import cloud_from_xyz
+
+
+def _map_points(seed=0, n=400):
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform(-40, 40, (n, 2)).astype(np.float32)
+    return np.concatenate([pts, np.zeros((n, 1), np.float32)], 1)
+
+
+def _scene_from(map_xyz, pose, max_r=30.0):
+    """Points the robot at `pose` would see, in its own frame."""
+    c, s = np.cos(pose[2]), np.sin(pose[2])
+    R = np.array([[c, -s], [s, c]], np.float32)
+    local = (map_xyz[:, :2] - pose[:2]) @ R
+    keep = np.linalg.norm(local, axis=1) < max_r
+    out = np.concatenate([local[keep], np.zeros((keep.sum(), 1), np.float32)], 1)
+    return out
+
+
+def test_recovers_large_offset():
+    cfg = GlobalMatchConfig(num_rotations=64, grid_size=128,
+                            grid_resolution=0.5, accept_score=0.3)
+    icp = IcpConfig(max_points=512, inlier_dist=1.0, max_iterations=15)
+    m = _map_points()
+    true_pose = np.array([7.0, -4.0, 2.1], np.float32)
+    scene = _scene_from(m, true_pose)
+    res = global_match(cloud_from_xyz(jnp.array(scene)),
+                       cloud_from_xyz(jnp.array(m)),
+                       jnp.zeros(2), cfg, icp)
+    assert bool(res.ok), f"score {float(res.score)}"
+    got = np.asarray(res.pose)
+    assert np.linalg.norm(got[:2] - true_pose[:2]) < 0.3, got
+    dyaw = np.arctan2(np.sin(got[2] - true_pose[2]),
+                      np.cos(got[2] - true_pose[2]))
+    assert abs(dyaw) < 0.1, got
+
+
+def test_rejects_wrong_map():
+    cfg = GlobalMatchConfig(num_rotations=32, grid_size=128,
+                            grid_resolution=0.5, accept_score=0.5)
+    m1 = _map_points(seed=1)
+    m2 = _map_points(seed=2)
+    scene = _scene_from(m1, np.array([0.0, 0.0, 0.0], np.float32))
+    res = global_match(cloud_from_xyz(jnp.array(scene)),
+                       cloud_from_xyz(jnp.array(m2)), jnp.zeros(2), cfg)
+    assert not bool(res.ok), f"accepted a wrong map: {float(res.score)}"
+
+
+def test_rasterize_bounds():
+    cfg = GlobalMatchConfig(grid_size=64, grid_resolution=0.5)
+    xy = jnp.array([[0.0, 0.0], [100.0, 100.0], [-5.0, 3.0]])
+    img = rasterize(xy, jnp.array([True, True, True]), jnp.zeros(2), cfg)
+    assert img.shape == (64, 64)
+    assert float(img.sum()) == 2.0  # out-of-range point dropped
+
+
+def test_vmappable_over_robots():
+    # grid must cover scene extent with headroom: circular FFT correlation
+    # wraps, so grid_size * resolution >= 2 * (scene radius + search offset)
+    cfg = GlobalMatchConfig(num_rotations=16, grid_size=128,
+                            grid_resolution=1.0, accept_score=0.2)
+    m = _map_points()
+    poses = [np.array([3.0, 2.0, 0.5], np.float32),
+             np.array([-6.0, 1.0, -1.0], np.float32)]
+    scenes = [_scene_from(m, p)[:200] for p in poses]
+    n = min(len(s) for s in scenes)
+    scenes = jnp.array(np.stack([s[:n] for s in scenes]))
+    map_c = cloud_from_xyz(jnp.array(m))
+    fn = jax.vmap(lambda s: global_match(cloud_from_xyz(s), map_c,
+                                         jnp.zeros(2), cfg))
+    res = fn(scenes)
+    assert res.pose.shape == (2, 3)
+    for b, p in enumerate(poses):
+        assert np.linalg.norm(np.asarray(res.pose[b, :2]) - p[:2]) < 1.5

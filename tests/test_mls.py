@@ -1,0 +1,118 @@
+"""MLS cluster-grid behavioral tests (mls.cpp updateCell semantics)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from slam_tpu.config import MlsConfig
+from slam_tpu.mapping.mls import (add_to_mls, get_segmented_clouds, init_mls,
+                                  shift_origin_mls)
+from slam_tpu.types import cloud_from_xyz
+
+
+def cfg_small():
+    return MlsConfig(size_x=32, size_y=32, resolution=0.5, max_clusters=4,
+                     min_cluster_points=3.0, max_range=20.0, update_dist=16)
+
+
+def _cloud_at(cells, z, n_per=6, jitter=0.02, seed=0):
+    """n_per points per (x, y) world location at height z (+noise)."""
+    rng = np.random.default_rng(seed)
+    pts = []
+    for (x, y), zz in zip(cells, z):
+        for _ in range(n_per):
+            pts.append([x + rng.uniform(-0.1, 0.1),
+                        y + rng.uniform(-0.1, 0.1),
+                        zz + rng.normal(0, jitter)])
+    return cloud_from_xyz(jnp.array(np.array(pts, np.float32)))
+
+
+def test_flat_ground_is_drivable():
+    cfg = cfg_small()
+    grid = init_mls(cfg)
+    cells = [(x * 0.5, y * 0.5) for x in range(-4, 5) for y in range(-4, 5)]
+    cloud = _cloud_at(cells, [0.0] * len(cells))
+    grid = add_to_mls(grid, cloud, cfg)
+    drv = np.asarray(grid.drivable)
+    center = drv[12:20, 12:20]
+    assert (center == 1).mean() > 0.8, f"flat ground not drivable:\n{center}"
+
+
+def test_step_blocks_drivability():
+    cfg = cfg_small()
+    grid = init_mls(cfg)
+    cells, zs = [], []
+    for x in range(-4, 5):
+        for y in range(-4, 5):
+            cells.append((x * 0.5, y * 0.5))
+            zs.append(0.0 if x < 1 else 1.0)  # 1 m step at x=1
+    grid = add_to_mls(grid, _cloud_at(cells, zs), cfg)
+    drv = np.asarray(grid.drivable)
+    # cells on the high side adjacent to the step must be blocked
+    step_col = 16 + 1  # x = 0.5 -> cell 17
+    assert (drv[step_col, 12:20] == 0).mean() > 0.7, drv[step_col, 12:20]
+    # far side of the low region stays drivable
+    assert (drv[13, 13:19] == 1).mean() > 0.7
+
+
+def test_overhang_two_clusters_drivable():
+    cfg = cfg_small()
+    grid = init_mls(cfg)
+    cells = [(x * 0.5, y * 0.5) for x in range(-2, 3) for y in range(-2, 3)]
+    # ground at 0 and a canopy at 2.5 m: clearance >> drive_dist_threshold
+    grid = add_to_mls(grid, _cloud_at(cells, [0.0] * len(cells)), cfg)
+    grid = add_to_mls(grid, _cloud_at(cells, [2.5] * len(cells), seed=1), cfg)
+    drv = np.asarray(grid.drivable)
+    num = np.asarray(grid.num_pts)
+    center = (16, 16)
+    assert (num[center] > 0).sum() >= 2, "should hold two clusters"
+    assert drv[center] == 1, "high overhang should stay drivable"
+
+
+def test_low_obstacle_blocks():
+    cfg = cfg_small()
+    grid = init_mls(cfg)
+    cells = [(x * 0.5, y * 0.5) for x in range(-2, 3) for y in range(-2, 3)]
+    grid = add_to_mls(grid, _cloud_at(cells, [0.0] * len(cells)), cfg)
+    # table at 0.8 m: clearly outside the ground association gate
+    # (3*sigma + 0.5 ~= 0.6) and clearance < drive_dist_threshold (1 m)
+    grid = add_to_mls(grid, _cloud_at(cells, [0.8] * len(cells), seed=1), cfg)
+    drv = np.asarray(grid.drivable)
+    assert drv[16, 16] == 0, "low obstacle must block drivability"
+
+
+def test_close_clusters_merge():
+    cfg = cfg_small()
+    grid = init_mls(cfg)
+    cells = [(0.1, 0.1)]
+    grid = add_to_mls(grid, _cloud_at(cells, [0.0], n_per=8), cfg)
+    grid = add_to_mls(grid, _cloud_at(cells, [0.15], n_per=8, seed=1), cfg)
+    num = np.asarray(grid.num_pts[16, 16])
+    assert (num > 0).sum() == 1, f"15 cm apart layers should merge: {num}"
+
+
+def test_rolling_shift_preserves_world_content():
+    cfg = cfg_small()
+    grid = init_mls(cfg)
+    cells = [(1.0, 0.0)]
+    grid = add_to_mls(grid, _cloud_at(cells, [0.3], n_per=8), cfg)
+    assert float(grid.num_pts[18, 16, 0]) > 0  # x=1.0 -> cell 16+2
+    grid2 = shift_origin_mls(grid, jnp.array([2.0, 0.0]), cfg)
+    # same world point is now 1 m behind the center: cell 16 - 2
+    assert float(grid2.num_pts[14, 16, 0]) > 0
+    assert abs(float(grid2.mean[14, 16, 0, 2]) - 0.3) < 0.05
+
+
+def test_segmented_cloud_export():
+    cfg = cfg_small()
+    grid = init_mls(cfg)
+    cells = [(x * 0.5, y * 0.5) for x in range(-3, 4) for y in range(-3, 4)]
+    grid = add_to_mls(grid, _cloud_at(cells, [0.0] * len(cells)), cfg)
+    wall = [(2.0, y * 0.5) for y in range(-3, 4)]
+    grid = add_to_mls(grid, _cloud_at(wall, [0.8] * len(wall), seed=2), cfg)
+    obs, gnd = get_segmented_clouds(grid, cfg, capacity=128)
+    assert int(gnd.count()) > 10
+    assert int(obs.count()) >= 5
+    oz = np.asarray(obs.xyz[np.asarray(obs.valid)][:, 2])
+    gz = np.asarray(gnd.xyz[np.asarray(gnd.valid)][:, 2])
+    assert gz.mean() < 0.2
+    assert oz.max() > 0.5
