@@ -66,7 +66,7 @@ def test_rasterize_bounds():
 def test_vmappable_over_robots():
     # grid must cover scene extent with headroom: circular FFT correlation
     # wraps, so grid_size * resolution >= 2 * (scene radius + search offset)
-    cfg = GlobalMatchConfig(num_rotations=16, grid_size=128,
+    cfg = GlobalMatchConfig(num_rotations=64, grid_size=128,
                             grid_resolution=1.0, accept_score=0.2)
     m = _map_points()
     poses = [np.array([3.0, 2.0, 0.5], np.float32),
