@@ -1,0 +1,83 @@
+"""Sample mapping + camera calibration tests (sample_mapping/, calibration/)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from slam_tpu import calib
+from slam_tpu.config import SampleMapConfig
+from slam_tpu.mapping.sample_map import (add_sample, extract_samples,
+                                         init_sample_map, remove_cone)
+
+
+def cfg_small():
+    return SampleMapConfig(size_x=128, size_y=128, resolution=0.5)
+
+
+def test_add_and_extract_sample():
+    cfg = cfg_small()
+    m = init_sample_map(cfg)
+    for _ in range(3):  # repeated detections accumulate evidence
+        m = add_sample(m, jnp.array([5.0, -3.0]), jnp.asarray(1.5),
+                       jnp.asarray(1.0), cfg)
+    assert float(m.prob.max()) <= cfg.prob_max
+    peaks = extract_samples(m, cfg)
+    assert bool(peaks.valid[0])
+    np.testing.assert_allclose(np.asarray(peaks.xy[0]), [5.0, -3.0], atol=0.5)
+
+
+def test_cone_decay_clears_false_positive():
+    cfg = cfg_small()
+    m = init_sample_map(cfg)
+    m = add_sample(m, jnp.array([5.0, 0.0]), jnp.asarray(2.0),
+                   jnp.asarray(0.8), cfg)
+    # robot at origin looking +x: the sample is inside the cone
+    for _ in range(12):
+        m = remove_cone(m, jnp.zeros(2), jnp.asarray(0.0), jnp.asarray(0.3),
+                        cfg)
+    peaks = extract_samples(m, cfg)
+    assert not bool(peaks.valid[0]), "cone decay should clear the blob"
+
+
+def test_cone_does_not_touch_outside():
+    cfg = cfg_small()
+    m = init_sample_map(cfg)
+    m = add_sample(m, jnp.array([-8.0, 0.0]), jnp.asarray(2.0),
+                   jnp.asarray(0.8), cfg)  # behind the robot
+    before = float(m.prob.max())
+    m = remove_cone(m, jnp.zeros(2), jnp.asarray(0.0), jnp.asarray(1.0), cfg)
+    assert abs(float(m.prob.max()) - before) < 1e-6
+
+
+def test_projection_roundtrip():
+    cam = calib.REFERENCE_CAMERA
+    pt = jnp.array([8.0, -0.5, -0.4])  # lidar-frame point ahead of the rover
+    cxyz = calib.lidar_to_camera(cam, pt)
+    assert float(cxyz[2]) > 0, "point should be in front of the camera"
+    uv = calib.camera_to_pixel(cam, cxyz)
+    ray = calib.pixel_to_ray(cam, uv)
+    # the ray through the pixel must pass through the camera-frame point
+    cos = float(jnp.dot(ray, cxyz / jnp.linalg.norm(cxyz)))
+    assert cos > 0.9999
+
+
+def test_pixel_to_ground_chain():
+    cam = calib.REFERENCE_CAMERA
+    h = -1.3
+    # forward-project a known ground point, then invert through the chain
+    gpt = jnp.array([6.0, 1.0, h])
+    uv = calib.camera_to_pixel(cam, calib.lidar_to_camera(cam, gpt))
+    back = calib.ray_to_flat_ground(cam, calib.pixel_to_ray(cam, uv), h)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(gpt), atol=1e-2)
+    # global transform applies robot pose
+    pose = jnp.array([10.0, -2.0, np.pi / 2, 1.3])
+    g = calib.pixel_to_global(cam, uv, pose, h)
+    expect = np.array([10.0 - 1.0, -2.0 + 6.0, 0.0])
+    np.testing.assert_allclose(np.asarray(g), expect, atol=0.05)
+
+
+def test_yaml_parse():
+    text = open("/root/reference/calibration/calibration/extrinsics.yaml").read()
+    cams = calib.load_extrinsics_yaml(text)
+    assert len(cams) == 1
+    np.testing.assert_allclose(np.asarray(cams[0].P())[0, 0], 11162.85801)
+    np.testing.assert_allclose(np.asarray(cams[0].T())[3], [0, 0, 0, 1])
