@@ -36,9 +36,13 @@ from slam_tpu.types import (PointCloud, SlamState, cloud_from_xyz, make_cloud)
 def init_state(key: jnp.ndarray, cfg: SlamConfig,
                with_graph: bool = False) -> SlamState:
     graph = None
+    map_grid = None
     if with_graph:
         from slam_tpu.graph.pose_graph import init_graph
         graph = init_graph(cfg.graph)
+    else:
+        from slam_tpu.mapping.point_map import init_point_map
+        map_grid = init_point_map(cfg.mls.size_x)
     return SlamState(
         ekf=ekf_mod.init_ekf(cfg.ekf),
         pose=jnp.zeros(4),
@@ -47,6 +51,7 @@ def init_state(key: jnp.ndarray, cfg: SlamConfig,
         local_map=init_occupancy(cfg.mls),
         prev_scene=make_cloud(cfg.cloud.scene_capacity),
         map_cloud=make_cloud(cfg.cloud.map_capacity),
+        map_grid=map_grid,
         graph=graph,
         step=jnp.int32(0),
         true_pose=jnp.zeros(4),
@@ -67,13 +72,18 @@ def build_scene(scan_xyz: jnp.ndarray, hit: jnp.ndarray,
 
 
 def register_scan(scene: PointCloud, map_cloud: PointCloud,
-                  init_pose_xyyaw: jnp.ndarray, cfg: SlamConfig):
+                  init_pose_xyyaw: jnp.ndarray, cfg: SlamConfig,
+                  reclassify: bool = True):
     """scan_registration node (scan_registration.cpp:109-176): crop the map
-    target around the pose, re-classify it, run class-constrained ICP."""
+    target around the pose, re-classify it, run class-constrained ICP.
+
+    reclassify=False when the target already carries GA flags (the point-map
+    grid computes them on export with the same stencil)."""
     target = crop_box(map_cloud, init_pose_xyyaw[:2], cfg.icp.crop_dist)
-    target = classify_ground_adjacent(
-        target, init_pose_xyyaw[:2], cfg.icp.ga_num_bins, cfg.icp.ga_resolution,
-        cfg.icp.ga_threshold)
+    if reclassify:
+        target = classify_ground_adjacent(
+            target, init_pose_xyyaw[:2], cfg.icp.ga_num_bins,
+            cfg.icp.ga_resolution, cfg.icp.ga_threshold)
     return icp_fit(
         scene.xyz[..., :2], scene.valid, scene.is_ga(),
         target.xyz[..., :2], target.valid, target.is_ga(),
@@ -124,7 +134,8 @@ def slam_step(state: SlamState, world: World2D, cfg: SlamConfig,
 
     # --- scene build + scan registration ---
     scene = build_scene(scan_xyz, hit, cfg)
-    icp = register_scan(scene, state.map_cloud, pred, cfg)
+    icp = register_scan(scene, state.map_cloud, pred, cfg,
+                        reclassify=not incremental_map)
 
     # --- EKF SLAM update (scan_registration.cpp:161-175 failure gating) ---
     ekf = ekf_mod.slam_update(ekf, icp.pose, cfg.ekf, has_meas=icp.ok)
@@ -133,9 +144,19 @@ def slam_step(state: SlamState, world: World2D, cfg: SlamConfig,
     # --- map + occupancy updates ---
     # bootstrap: before the map exists, seed it from the prediction
     if incremental_map:
+        from slam_tpu.mapping.point_map import (export_points,
+                                                shift_point_map,
+                                                update_point_map)
+        res = cfg.icp.voxel_leaf_obs[0]
         map_pose = jnp.where(icp.ok, icp.pose, pred)
-        map_cloud = update_map_cloud(state.map_cloud, scene, map_pose, cfg)
+        world_xy = se2_apply(map_pose, scene.xyz[..., :2])
+        world_xyz = jnp.concatenate([world_xy, scene.xyz[..., 2:]], axis=-1)
+        mg = shift_point_map(state.map_grid, fused[:2], res)
+        mg = update_point_map(mg, world_xyz, scene.valid, res)
+        map_cloud = export_points(mg, state.map_cloud.capacity,
+                                  ga_threshold=cfg.icp.ga_threshold)
     else:
+        mg = state.map_grid
         map_cloud = state.map_cloud
 
     grid = shift_origin(state.local_map, fused[:2], cfg.mls)
@@ -155,6 +176,7 @@ def slam_step(state: SlamState, world: World2D, cfg: SlamConfig,
         local_map=grid,
         prev_scene=scene,
         map_cloud=map_cloud,
+        map_grid=mg,
         step=state.step + 1,
         true_pose=jnp.concatenate([true2, jnp.zeros(1)]),
         rng=key,

@@ -147,6 +147,7 @@ class SlamState:
     local_map: OccupancyGrid
     prev_scene: PointCloud       # previous segmented scene (scan-to-scan target)
     map_cloud: PointCloud        # scan-to-map target (global obstacle+ground means)
+    map_grid: object             # Optional[PointMapGrid] incremental map store
     graph: PoseGraph
     step: jnp.ndarray            # () int32 sim/step counter
     true_pose: jnp.ndarray       # (4,) simulation ground truth (for ATE)

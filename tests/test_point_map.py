@@ -1,0 +1,59 @@
+"""Point-map grid tests (sort-free scan-to-map target store)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from slam_tpu.mapping.point_map import (export_points, init_point_map,
+                                        shift_point_map, update_point_map)
+from slam_tpu.types import PointCloud
+
+
+def test_update_export_centroids():
+    g = init_point_map(64)
+    pts = jnp.array([[1.2, 0.2, 0.0], [1.3, 0.3, 0.2], [-5.0, 2.0, 0.1]])
+    g = update_point_map(g, pts, jnp.ones(3, bool), 0.5)
+    cloud = export_points(g, capacity=16)
+    assert int(cloud.count()) == 2
+    got = np.asarray(cloud.xyz[np.asarray(cloud.valid)])
+    got = got[np.argsort(got[:, 0])]
+    np.testing.assert_allclose(got[0], [-5.0, 2.0, 0.1], atol=1e-5)
+    np.testing.assert_allclose(got[1], [1.25, 0.25, 0.1], atol=1e-5)
+
+
+def test_ga_flags_from_stencil():
+    g = init_point_map(64)
+    # a solid 5x5 block: interior cells have no empty neighbors -> NGA;
+    # border cells of the block have >=2 empty neighbors -> GA
+    pts = [[x * 0.5, y * 0.5, 0.0] for x in range(5) for y in range(5)]
+    pts = jnp.array(pts, jnp.float32)
+    g = update_point_map(g, pts, jnp.ones(len(pts), bool), 0.5)
+    cloud = export_points(g, capacity=64)
+    v = np.asarray(cloud.valid)
+    xyz = np.asarray(cloud.xyz)[v]
+    ga = (np.asarray(cloud.flags)[v] & PointCloud.FLAG_GA) != 0
+    assert v.sum() == 25
+    center = (np.abs(xyz[:, 0] - 1.25) < 0.3) & (np.abs(xyz[:, 1] - 1.25) < 0.3)
+    assert not ga[center].any(), "block interior must be NGA"
+    corner = (xyz[:, 0] < 0.3) & (xyz[:, 1] < 0.3)
+    assert ga[corner].all(), "block corner must be GA"
+
+
+def test_rolling_shift():
+    g = init_point_map(32)
+    pts = jnp.array([[2.0, 0.0, 0.5]])
+    g = update_point_map(g, pts, jnp.ones(1, bool), 0.5)
+    g2 = shift_point_map(g, jnp.array([4.0, 0.0]), 0.5)
+    cloud = export_points(g2, capacity=8)
+    got = np.asarray(cloud.xyz[np.asarray(cloud.valid)])
+    np.testing.assert_allclose(got[0], [2.0, 0.0, 0.5], atol=1e-5)
+    # content that rolls out of the window is dropped
+    g3 = shift_point_map(g, jnp.array([20.0, 0.0]), 0.5)
+    assert int(export_points(g3, capacity=8).count()) == 0
+
+
+def test_capacity_overflow_drops_tail():
+    g = init_point_map(64)
+    pts = jnp.array([[x * 0.5, 0.0, 0.0] for x in range(20)], jnp.float32)
+    g = update_point_map(g, pts, jnp.ones(20, bool), 0.5)
+    cloud = export_points(g, capacity=8)
+    assert int(cloud.count()) == 8
