@@ -1,0 +1,92 @@
+"""Checkpoint/restore, profiling helpers, particle-filter matching tests."""
+
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slam_tpu.config import sim2d_config
+from slam_tpu.mapping.point_map import init_point_map, update_point_map
+from slam_tpu.ops.particle import PFConfig, pf_match, score_pose
+from slam_tpu.pipeline import slam2d
+from slam_tpu.sim import world2d
+from slam_tpu.types import cloud_from_xyz
+from slam_tpu.utils import checkpoint as ckpt
+from slam_tpu.utils.profiling import Throughput, stage
+
+
+def test_checkpoint_roundtrip_full_state():
+    cfg = sim2d_config()
+    world = world2d.make_world(jax.random.PRNGKey(42), cfg.sim)
+    st = slam2d.init_state(jax.random.PRNGKey(0), cfg)
+    st, _ = slam2d.rollout(st, world, cfg, 10)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "ck")
+        ckpt.save(path, st)
+        back = ckpt.restore(path, st)
+    for a, b in zip(jax.tree.leaves(st), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # resumed state continues stepping
+    back2, _ = slam2d.rollout(back, world, cfg, 3)
+    assert int(back2.step) == 13
+
+
+def test_stage_scope_and_throughput():
+    with stage("test_stage"):
+        x = jnp.ones(4) * 2
+    assert float(x[0]) == 2.0
+    t = Throughput(batch=8)
+    t.tick(10)
+    assert t.robot_steps_per_sec > 0
+
+
+def _make_grid_and_scan(seed=0):
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform(-20, 20, (300, 2)).astype(np.float32)
+    world_xyz = np.concatenate([pts, np.zeros((300, 1), np.float32)], 1)
+    grid = init_point_map(128)
+    grid = update_point_map(grid, jnp.array(world_xyz),
+                            jnp.ones(300, bool), 0.5)
+    true_pose = np.array([2.0, -1.0, 0.4], np.float32)
+    c, s = np.cos(true_pose[2]), np.sin(true_pose[2])
+    R = np.array([[c, -s], [s, c]], np.float32)
+    local = (pts - true_pose[:2]) @ R
+    keep = np.linalg.norm(local, axis=1) < 15
+    scan = cloud_from_xyz(jnp.array(np.concatenate(
+        [local[keep], np.zeros((keep.sum(), 1), np.float32)], 1)))
+    return grid, scan, true_pose
+
+
+def test_score_pose_peaks_at_truth():
+    grid, scan, true_pose = _make_grid_and_scan()
+    s_true = float(score_pose(grid, scan.xyz[..., :2], scan.valid,
+                              jnp.array(true_pose), 0.5))
+    s_off = float(score_pose(grid, scan.xyz[..., :2], scan.valid,
+                             jnp.array(true_pose + [1.5, 0, 0]), 0.5))
+    assert s_true > 0.9
+    assert s_true > s_off + 0.2
+
+
+def test_pf_match_recovers_pose():
+    grid, scan, true_pose = _make_grid_and_scan(1)
+    pred = jnp.array(true_pose + np.array([0.25, -0.2, 0.03], np.float32))
+    res = pf_match(jax.random.PRNGKey(0), grid, scan, pred, 0.5,
+                   PFConfig(num_particles=256))
+    assert bool(res.ok)
+    got = np.asarray(res.pose)
+    assert np.linalg.norm(got[:2] - true_pose[:2]) < 0.2
+    assert abs(got[2] - true_pose[2]) < 0.05
+
+
+def test_pf_match_vmappable():
+    grid, scan, true_pose = _make_grid_and_scan(2)
+    B = 4
+    keys = jax.random.split(jax.random.PRNGKey(1), B)
+    preds = jnp.broadcast_to(jnp.array(true_pose), (B, 3))
+    fn = jax.jit(jax.vmap(
+        lambda k, p: pf_match(k, grid, scan, p, 0.5)))
+    res = fn(keys, preds)
+    assert res.pose.shape == (B, 3)
+    assert bool(res.ok.all())
