@@ -39,10 +39,9 @@ def main():
 
     @jax.jit
     def run_block(s):
-        def body(st, _):
-            return jax.vmap(lambda x: slam2d.slam_step(x, world, cfg))(st), None
-        s, _ = jax.lax.scan(body, s, None, length=args.steps)
-        return s
+        out, _ = jax.vmap(
+            lambda x: slam2d.rollout(x, world, cfg, args.steps))(s)
+        return out
 
     # warmup / compile
     states = run_block(states)

@@ -66,6 +66,12 @@ class IcpConfig:
 
     max_points: int = 20000              # icpTools.h:21 ICP_MAX_PTS per class
     max_iterations: int = 20             # icp.cpp:27 max_iter
+    # scan-to-map matching engine:
+    #   "fused"  — whole ICP loop in one Pallas kernel vs the exported map
+    #              cloud (fastest on TPU; falls back to "points" off-TPU)
+    #   "points" — XLA brute-force NN vs the exported map cloud
+    #   "grid"   — jump-flooded nearest-centroid field over the map grid
+    matcher: str = "fused"
     min_delta: float = 1e-6              # icp.cpp:27 min_delta convergence gate
     inlier_dist: float = 5.0             # icpTools.cpp:188 (fit(..., indist=5, ...))
     crop_dist: float = 75.0              # icpTools.cpp:230 target crop half-extent

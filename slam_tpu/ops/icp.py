@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from slam_tpu.config import IcpConfig
 from slam_tpu.geometry import angle_wrap, rot2
-from slam_tpu.ops.nn import nearest_neighbor
+from slam_tpu.ops.nn_pallas import nearest_neighbor  # pallas on TPU, jnp off
 
 
 class IcpResult(NamedTuple):

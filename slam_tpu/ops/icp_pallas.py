@@ -1,0 +1,225 @@
+"""Fully-fused class-constrained ICP as one Pallas TPU kernel.
+
+One kernel launch runs the reference's whole Icp::fit loop (icp.cpp:80-122:
+<=20 iterations of correspondence + weighted Kabsch + convergence gate) for
+one robot per grid step. The scene (S,) planes, model (C,) planes, and the
+(S, C) distance tile live in VMEM for the entire loop — iterating in XLA
+instead costs a full HBM round-trip of the distance tile per iteration
+(measured: 433 ms/step at batch 1024, ~60% of the whole SLAM tick).
+
+Kabsch is computed from raw moments of the correspondence tile:
+  u[q, c] = 1/|ties| for c among q's nearest inlier model points
+  W = sum_q w_q,  mu_q = sum w_q q / W,  mu_m = sum_{qc} u m / W
+  H = sum_{qc} u (q - mu_q)(m - mu_m)^T = S_qm - W mu_q mu_m^T
+  dyaw = atan2(H01 - H10, H00 + H11)        (2D closed form)
+so no argmin/gather is needed — ties average the tied model points (the
+reference takes the KD-tree's first hit; with voxelized maps exact ties are
+measure-zero and the fixed point is identical).
+
+Semantics otherwise match ops.icp.icp_fit: squared-distance inlier gate,
+class participation only when the model has >3 points of that class,
+no-correspondence freeze (delta = -1), min_delta convergence.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from slam_tpu.config import IcpConfig
+from slam_tpu.ops.icp import IcpResult
+
+BIG = 1e30
+
+
+def _icp_kernel(max_iter: int, inlier_dist: float, min_delta: float,
+                min_scene: int,
+                sx_ref, sy_ref, sc_ref, mx_ref, my_ref, mc_ref, init_ref,
+                out_ref):
+    sx = sx_ref[0]            # (S, 1)
+    sy = sy_ref[0]
+    sc = sc_ref[0]            # class: -1 pad/invalid, 0 NGA, 1 GA
+    mx = mx_ref[0]            # (1, C)
+    my = my_ref[0]
+    mc = mc_ref[0]            # class: 0/1, 2 = invalid
+
+    m_ga = jnp.sum(jnp.where(mc == 1.0, 1.0, 0.0))
+    m_nga = jnp.sum(jnp.where(mc == 0.0, 1.0, 0.0))
+    n_scene = jnp.sum(jnp.where(sc >= 0.0, 1.0, 0.0))
+    ok = (n_scene >= min_scene) & (m_ga + m_nga >= 5.0)
+
+    # masks kept as f32 (0/1): vector bool casts hit Mosaic lowering bugs
+    class_on = jnp.where(sc == 1.0,
+                         jnp.where(m_ga > 3.0, 1.0, 0.0),
+                         jnp.where(m_nga > 3.0, 1.0, 0.0))
+    participate = jnp.where(sc >= 0.0, 1.0, 0.0) * class_on   # (S, 1)
+    pair_ok = jnp.where(sc == mc, 1.0, 0.0) * \
+        jnp.where(mc >= 2.0, 0.0, 1.0)                        # (S, C)
+
+    # rotation carried as a (cos, sin) pair: Mosaic has no scalar atan2/trig,
+    # and Kabsch only needs the normalized (H00+H11, H01-H10) direction
+    def body(i, carry):
+        tx, ty, cth, sth, converged, ncorr, mres, delta = carry
+        qx = cth * sx - sth * sy + tx               # (S, 1)
+        qy = sth * sx + cth * sy + ty
+        dx = qx - mx                                 # (S, C)
+        dy = qy - my
+        d2 = dx * dx + dy * dy + (1.0 - pair_ok) * BIG
+        rowmin = jnp.min(d2, axis=1, keepdims=True)  # (S, 1)
+        w = participate * jnp.where(rowmin < inlier_dist, 1.0, 0.0)  # (S, 1)
+        sel = jnp.where(d2 <= rowmin, 1.0, 0.0) * w  # ties included
+        nt = jnp.sum(sel, axis=1, keepdims=True)
+        u = sel / jnp.maximum(nt, 1.0)
+
+        W = jnp.sum(w)
+        Ws = jnp.maximum(W, 1e-12)
+        mqx = jnp.sum(w * qx) / Ws
+        mqy = jnp.sum(w * qy) / Ws
+        umx = u * mx
+        umy = u * my
+        mmx = jnp.sum(umx) / Ws
+        mmy = jnp.sum(umy) / Ws
+        H00 = jnp.sum(qx * umx) - W * mqx * mmx
+        H01 = jnp.sum(qx * umy) - W * mqx * mmy
+        H10 = jnp.sum(qy * umx) - W * mqy * mmx
+        H11 = jnp.sum(qy * umy) - W * mqy * mmy
+        a = H00 + H11
+        b = H01 - H10
+        rn = jax.lax.rsqrt(jnp.maximum(a * a + b * b, 1e-24))
+        c_ = a * rn
+        s_ = b * rn
+        t_x = mmx - (c_ * mqx - s_ * mqy)
+        t_y = mmy - (s_ * mqx + c_ * mqy)
+
+        ntx = c_ * tx - s_ * ty + t_x
+        nty = s_ * tx + c_ * ty + t_y
+        ncth = c_ * cth - s_ * sth
+        nsth = s_ * cth + c_ * sth
+        rnorm = jax.lax.rsqrt(jnp.maximum(ncth * ncth + nsth * nsth, 1e-24))
+        ncth = ncth * rnorm
+        nsth = nsth * rnorm
+        frob = jnp.sqrt(jnp.maximum(4.0 - 4.0 * c_, 0.0))
+        d = jnp.maximum(frob, jnp.sqrt(t_x * t_x + t_y * t_y))
+        has_corr = W > 0.0
+        d = jnp.where(has_corr, d, -1.0)
+        new_mres = jnp.sum(w * rowmin) / Ws
+
+        upd = ~converged
+        go = upd & has_corr
+        tx = jnp.where(go, ntx, tx)
+        ty = jnp.where(go, nty, ty)
+        cth = jnp.where(go, ncth, cth)
+        sth = jnp.where(go, nsth, sth)
+        ncorr = jnp.where(upd, W, ncorr)
+        mres = jnp.where(upd, new_mres, mres)
+        delta = jnp.where(upd, d, delta)
+        converged = converged | (d < min_delta)
+        return tx, ty, cth, sth, converged, ncorr, mres, delta
+
+    init = (init_ref[0, 0, 0], init_ref[0, 0, 1],
+            init_ref[0, 0, 2], init_ref[0, 0, 3],
+            ~ok, jnp.float32(0.0), jnp.float32(0.0), jnp.float32(jnp.inf))
+    tx, ty, cth, sth, _, ncorr, mres, delta = jax.lax.fori_loop(
+        0, max_iter, body, init)
+    tx = jnp.where(ok, tx, init_ref[0, 0, 0])
+    ty = jnp.where(ok, ty, init_ref[0, 0, 1])
+    cth = jnp.where(ok, cth, init_ref[0, 0, 2])
+    sth = jnp.where(ok, sth, init_ref[0, 0, 3])
+    out_ref[:] = jnp.stack([
+        tx, ty, cth, sth,
+        jnp.where(ok, 1.0, 0.0), ncorr, mres, delta,
+    ])[None, None, :]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _icp_batched(sx, sy, sc, mx, my, mc, init, cfg: IcpConfig):
+    """All inputs batched: s* (B, S), m* (B, C), init (B, 3) [x, y, yaw]."""
+    B, S = sx.shape
+    C = mx.shape[1]
+
+    kern = functools.partial(
+        _icp_kernel, cfg.max_iterations, cfg.inlier_dist, cfg.min_delta,
+        cfg.min_scene_points)
+
+    q_spec = pl.BlockSpec((1, S, 1), lambda b: (b, 0, 0),
+                          memory_space=pltpu.VMEM)
+    m_spec = pl.BlockSpec((1, 1, C), lambda b: (b, 0, 0),
+                          memory_space=pltpu.VMEM)
+    # scalar blocks must be 3D: only the last two block dims are constrained
+    # (divisible by (8,128) or equal to the array dims)
+    i_spec = pl.BlockSpec((1, 1, 4), lambda b: (b, 0, 0),
+                          memory_space=pltpu.SMEM)
+    o_spec = pl.BlockSpec((1, 1, 8), lambda b: (b, 0, 0),
+                          memory_space=pltpu.VMEM)
+
+    init4 = jnp.stack([init[:, 0], init[:, 1],
+                       jnp.cos(init[:, 2]), jnp.sin(init[:, 2])], axis=-1)
+
+    out = pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=[q_spec, q_spec, q_spec, m_spec, m_spec, m_spec, i_spec],
+        out_specs=o_spec,
+        out_shape=jax.ShapeDtypeStruct((B, 1, 8), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
+    )(sx[..., None], sy[..., None], sc[..., None],
+      mx[:, None, :], my[:, None, :], mc[:, None, :], init4[:, None, :])
+
+    out = out[:, 0]
+    pose = jnp.stack([out[:, 0], out[:, 1],
+                      jnp.arctan2(out[:, 3], out[:, 2])], axis=-1)
+    return IcpResult(
+        pose=pose,
+        ok=(out[:, 4] > 0.5) & (out[:, 5] > 0),
+        num_corr=out[:, 5].astype(jnp.int32),
+        delta=out[:, 7],
+        mean_residual=out[:, 6],
+    )
+
+
+def _pack_classes(valid, ga, invalid_code):
+    c = jnp.where(ga, 1.0, 0.0)
+    return jnp.where(valid, c, invalid_code)
+
+
+@functools.lru_cache(maxsize=None)
+def make_icp_fused(cfg: IcpConfig):
+    """Factory: a custom_vmap'd fused ICP closed over a (hashable) IcpConfig,
+    so jax.vmap over robots maps onto the kernel's batch grid dimension."""
+
+    @jax.custom_batching.custom_vmap
+    def icp_fit_fused(scene_xy, scene_valid, scene_ga, model_xy, model_valid,
+                      model_ga, init_pose):
+        sc = _pack_classes(scene_valid, scene_ga, -1.0)
+        mc = _pack_classes(model_valid, model_ga, 2.0)
+        r = _icp_batched(scene_xy[None, :, 0], scene_xy[None, :, 1], sc[None],
+                         model_xy[None, :, 0], model_xy[None, :, 1], mc[None],
+                         init_pose[None], cfg)
+        return jax.tree.map(lambda x: x[0], r)
+
+    @icp_fit_fused.def_vmap
+    def _rule(axis_size, in_batched, scene_xy, scene_valid, scene_ga,
+              model_xy, model_valid, model_ga, init_pose):
+        def bcast(x, b):
+            return x if b else jnp.broadcast_to(x[None],
+                                                (axis_size,) + x.shape)
+
+        scene_xy = bcast(scene_xy, in_batched[0])
+        scene_valid = bcast(scene_valid, in_batched[1])
+        scene_ga = bcast(scene_ga, in_batched[2])
+        model_xy = bcast(model_xy, in_batched[3])
+        model_valid = bcast(model_valid, in_batched[4])
+        model_ga = bcast(model_ga, in_batched[5])
+        init_pose = bcast(init_pose, in_batched[6])
+        sc = _pack_classes(scene_valid, scene_ga, -1.0)
+        mc = _pack_classes(model_valid, model_ga, 2.0)
+        r = _icp_batched(scene_xy[..., 0], scene_xy[..., 1], sc,
+                         model_xy[..., 0], model_xy[..., 1], mc, init_pose,
+                         cfg)
+        return r, jax.tree.map(lambda _: True, r)
+
+    return icp_fit_fused

@@ -107,14 +107,19 @@ def update_map_cloud(map_cloud: PointCloud, scene: PointCloud,
 
 
 def slam_step(state: SlamState, world: World2D, cfg: SlamConfig,
-              incremental_map: bool = True) -> SlamState:
+              incremental_map: bool = True, field=None) -> SlamState:
     """One full SLAM tick. Pure; jit/vmap/shard_map friendly.
 
     incremental_map: fold each registered scene into the map target (the
     standalone scan-to-map mode). Graph mode passes False — there the target
     is regenerated from optimized keyframes only (reference dataflow:
     scan_registration targets come solely from graph_slam's published clouds,
-    scan_registration.cpp:185-186)."""
+    scan_registration.cpp:185-186).
+
+    field: precomputed nearest-centroid field for the grid matcher. The
+    rollout recomputes it every `field_every` ticks — the reference's own
+    cadence (scan-reg targets refresh at graph_slam's 10 Hz, not per scan).
+    None => compute fresh this step."""
     dt = cfg.sim.dt
     key, k_noise, k_gyro = jax.random.split(state.rng, 3)
 
@@ -134,8 +139,26 @@ def slam_step(state: SlamState, world: World2D, cfg: SlamConfig,
 
     # --- scene build + scan registration ---
     scene = build_scene(scan_xyz, hit, cfg)
-    icp = register_scan(scene, state.map_cloud, pred, cfg,
-                        reclassify=not incremental_map)
+    matcher = cfg.icp.matcher
+    if matcher == "fused" and jax.default_backend() != "tpu":
+        matcher = "points"
+    if incremental_map and matcher == "grid":
+        from slam_tpu.ops.grid_icp import icp_fit_grid, nearest_point_field
+        if field is None:
+            field = nearest_point_field(state.map_grid,
+                                        cfg.icp.voxel_leaf_obs[0],
+                                        cfg.icp.ga_threshold)
+        icp = icp_fit_grid(scene.xyz[..., :2], scene.valid, scene.is_ga(),
+                           field, pred, cfg.icp)
+    elif incremental_map and matcher == "fused":
+        from slam_tpu.ops.icp_pallas import make_icp_fused
+        target = crop_box(state.map_cloud, pred[:2], cfg.icp.crop_dist)
+        icp = make_icp_fused(cfg.icp)(
+            scene.xyz[..., :2], scene.valid, scene.is_ga(),
+            target.xyz[..., :2], target.valid, target.is_ga(), pred)
+    else:
+        icp = register_scan(scene, state.map_cloud, pred, cfg,
+                            reclassify=not incremental_map)
 
     # --- EKF SLAM update (scan_registration.cpp:161-175 failure gating) ---
     ekf = ekf_mod.slam_update(ekf, icp.pose, cfg.ekf, has_meas=icp.ok)
@@ -183,15 +206,37 @@ def slam_step(state: SlamState, world: World2D, cfg: SlamConfig,
     )
 
 
-@partial(jax.jit, static_argnames=("cfg", "num_steps"))
-def rollout(state: SlamState, world: World2D, cfg: SlamConfig, num_steps: int):
-    """Run num_steps ticks; returns (final_state, (est_traj, true_traj))."""
+@partial(jax.jit, static_argnames=("cfg", "num_steps", "field_every"))
+def rollout(state: SlamState, world: World2D, cfg: SlamConfig, num_steps: int,
+            field_every: int = 4):
+    """Run num_steps ticks; returns (final_state, (est_traj, true_traj)).
 
-    def body(s, _):
-        s = slam_step(s, world, cfg)
-        return s, (s.pose[:3], s.true_pose[:3])
+    The grid matcher's nearest-centroid field refreshes every `field_every`
+    ticks (amortizing the flood; the reference refreshes scan-reg targets at
+    10 Hz, not per scan). num_steps is rounded up to a multiple."""
+    if cfg.icp.matcher != "grid":
+        def body(s, _):
+            s = slam_step(s, world, cfg)
+            return s, (s.pose[:3], s.true_pose[:3])
+        return jax.lax.scan(body, state, None, length=num_steps)
 
-    return jax.lax.scan(body, state, None, length=num_steps)
+    from slam_tpu.ops.grid_icp import nearest_point_field
+    num_macro = -(-num_steps // field_every)
+
+    def macro(s, _):
+        field = nearest_point_field(s.map_grid, cfg.icp.voxel_leaf_obs[0],
+                                    cfg.icp.ga_threshold)
+
+        def tick(ss, _):
+            ss = slam_step(ss, world, cfg, field=field)
+            return ss, (ss.pose[:3], ss.true_pose[:3])
+
+        return jax.lax.scan(tick, s, None, length=field_every)
+
+    final, traj = jax.lax.scan(macro, state, None, length=num_macro)
+    est, true = traj
+    return final, (est.reshape(-1, 3)[:num_steps],
+                   true.reshape(-1, 3)[:num_steps])
 
 
 def graph_update(state: SlamState, cfg: SlamConfig) -> SlamState:

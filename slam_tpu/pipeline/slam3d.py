@@ -108,9 +108,15 @@ def slam_step_3d(state: SlamState, world: World3D, ground_map: PointCloud,
     target = classify_ground_adjacent(
         target, pred[:2], cfg.icp.ga_num_bins, cfg.icp.ga_resolution,
         cfg.icp.ga_threshold)
-    icp = icp_fit(obs_scene.xyz[..., :2], obs_scene.valid, obs_scene.is_ga(),
-                  target.xyz[..., :2], target.valid, target.is_ga(),
-                  pred, cfg.icp)
+    if cfg.icp.matcher == "fused" and jax.default_backend() == "tpu":
+        from slam_tpu.ops.icp_pallas import make_icp_fused
+        icp = make_icp_fused(cfg.icp)(
+            obs_scene.xyz[..., :2], obs_scene.valid, obs_scene.is_ga(),
+            target.xyz[..., :2], target.valid, target.is_ga(), pred)
+    else:
+        icp = icp_fit(obs_scene.xyz[..., :2], obs_scene.valid,
+                      obs_scene.is_ga(), target.xyz[..., :2], target.valid,
+                      target.is_ga(), pred, cfg.icp)
 
     # --- EKF fuse + height interpolation ---
     ekf = ekf_mod.slam_update(ekf, icp.pose, cfg.ekf, has_meas=icp.ok)

@@ -1,0 +1,88 @@
+"""Grid-accelerated ICP tests: JFA field vs brute force; transform recovery."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slam_tpu.config import IcpConfig
+from slam_tpu.mapping.point_map import init_point_map, update_point_map
+from slam_tpu.ops.grid_icp import (icp_fit_grid, lookup, nearest_point_field)
+
+
+def _grid_from(pts, G=128, res=0.5):
+    g = init_point_map(G)
+    xyz = np.concatenate([pts, np.zeros((len(pts), 1), np.float32)], 1)
+    return update_point_map(g, jnp.array(xyz), jnp.ones(len(pts), bool), res)
+
+
+def test_field_matches_bruteforce_nn():
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-25, 25, (120, 2)).astype(np.float32)
+    grid = _grid_from(pts)
+    field = nearest_point_field(grid, 0.5)
+    # centroids (cells may merge nearby points)
+    occ = np.asarray(grid.count) > 0
+    cents = np.stack([np.asarray(grid.sum_x)[occ] / np.asarray(grid.count)[occ],
+                      np.asarray(grid.sum_y)[occ] / np.asarray(grid.count)[occ]],
+                     -1)
+    q = rng.uniform(-20, 20, (200, 2)).astype(np.float32)
+    # isolated cells classify ground-adjacent -> query the GA field
+    got, ok = lookup(field, jnp.array(q), jnp.ones(200, bool))
+    got = np.asarray(got)
+    assert np.asarray(ok).all()
+    # compare against exact NN from the QUERY CELL CENTER (field semantics)
+    cc = (np.floor(q / 0.5) + 0.5) * 0.5
+    d = np.linalg.norm(cc[:, None] - cents[None], axis=-1)
+    expect = cents[d.argmin(1)]
+    frac = (np.linalg.norm(got - expect, axis=1) < 1e-4).mean()
+    assert frac > 0.98, f"JFA field mismatch: {frac}"
+
+
+def test_icp_grid_recovers_transform():
+    rng = np.random.default_rng(1)
+    pts = rng.uniform(-20, 20, (200, 2)).astype(np.float32)
+    grid = _grid_from(pts)
+    field = nearest_point_field(grid, 0.5)
+    th, tx, ty = 0.06, 0.2, -0.15
+    c, s = np.cos(th), np.sin(th)
+    R = np.array([[c, -s], [s, c]], np.float32)
+    scene = (pts - [tx, ty]) @ R
+    cfg = IcpConfig(inlier_dist=1.0, max_iterations=20)
+    res = icp_fit_grid(jnp.array(scene), jnp.ones(200, bool),
+                       jnp.ones(200, bool), field,
+                       jnp.zeros(3), cfg)
+    assert bool(res.ok)
+    got = np.asarray(res.pose)
+    # accuracy bounded by the map's 0.5 m cell discretization
+    assert abs(got[2] - th) < 0.02, got
+    assert np.linalg.norm(got[:2] - [tx, ty]) < 0.15, got
+
+
+def test_icp_grid_class_gate():
+    rng = np.random.default_rng(2)
+    pts = rng.uniform(-20, 20, (100, 2)).astype(np.float32)
+    grid = _grid_from(pts)
+    field = nearest_point_field(grid, 0.5)
+    # sparse scatter -> all cells GA (empty neighbors) -> NGA class count ~0
+    assert int(field.n_class[1]) > int(field.n_class[0])
+    cfg = IcpConfig(inlier_dist=1.0)
+    # an all-NGA scene has no active class -> no correspondences -> not ok
+    res = icp_fit_grid(jnp.array(pts), jnp.ones(100, bool),
+                       jnp.zeros(100, bool), field, jnp.zeros(3), cfg)
+    if int(field.n_class[0]) <= 3:
+        assert not bool(res.ok)
+
+
+def test_pipeline_grid_matcher_ate():
+    import dataclasses
+    from slam_tpu.config import sim2d_config
+    from slam_tpu.pipeline import slam2d
+    from slam_tpu.sim import world2d
+    c = sim2d_config()
+    cfg = dataclasses.replace(
+        c, icp=dataclasses.replace(c.icp, matcher="grid"))
+    world = world2d.make_world(jax.random.PRNGKey(42), cfg.sim)
+    st = slam2d.init_state(jax.random.PRNGKey(0), cfg)
+    final, (est, true) = slam2d.rollout(st, world, cfg, 60)
+    err = float(slam2d.ate(est[10:], true[10:]))
+    assert err < 0.3, f"grid-matcher ATE too large: {err}"
