@@ -72,25 +72,24 @@ def add_to_occupancy(grid: OccupancyGrid, obstacle: PointCloud,
     untouched this scan keep their flag (the reference evaluates per point; the
     net post-scan count decides identically except exact-threshold ties).
     """
+    from slam_tpu.ops.scatter2d import scatter_add_2d
+
     H, W = grid.counts.shape
 
-    def scatter(counts, cloud: PointCloud, sign: jnp.ndarray):
-        x, y, inb = _cell_index(cloud.xyz[..., :2], cfg)
-        rng = jnp.linalg.norm(cloud.xyz[..., :2], axis=-1)
-        keep = cloud.valid & inb & (rng <= cfg.max_range)
-        x = jnp.where(keep, x, H)  # overflow row absorbs masked points
-        flat = x * W + jnp.where(keep, y, 0)
-        upd = jnp.where(keep, sign, 0.0)
-        buf = jnp.zeros(((H + 1) * W,), counts.dtype).at[flat].add(upd)
-        touched = jnp.zeros(((H + 1) * W,), bool).at[flat].set(keep)
-        return (counts + buf[: H * W].reshape(H, W),
-                touched[: H * W].reshape(H, W))
-
-    counts, touched_o = scatter(grid.counts, obstacle,
-                                jnp.asarray(cfg.occupancy_increment))
-    counts, touched_g = scatter(counts, ground,
-                                jnp.asarray(-cfg.occupancy_decrement))
-    touched = touched_o | touched_g
+    # one fused scatter for both clouds (each one-hot matmul pass costs the
+    # same regardless of channel count)
+    xy = jnp.concatenate([obstacle.xyz[..., :2], ground.xyz[..., :2]], 0)
+    x, y, inb = _cell_index(xy, cfg)
+    rng = jnp.linalg.norm(xy, axis=-1)
+    keep = jnp.concatenate([obstacle.valid, ground.valid], 0) & inb & \
+        (rng <= cfg.max_range)
+    sign = jnp.concatenate([
+        jnp.full(obstacle.valid.shape, cfg.occupancy_increment),
+        jnp.full(ground.valid.shape, -cfg.occupancy_decrement)], 0)
+    vals = jnp.stack([sign, jnp.ones_like(sign)], -1)
+    acc = scatter_add_2d(x, y, vals, keep, (H, W))
+    counts = grid.counts + acc[..., 0]
+    touched = acc[..., 1] > 0
     occupied = touched & (counts > cfg.min_cluster_points)
     free = touched & (counts < cfg.min_cluster_points)
     drivable = jnp.where(occupied, jnp.int8(0),

@@ -26,22 +26,29 @@ from slam_tpu.types import PointCloud
 
 @struct.dataclass
 class PointMapGrid:
+    """Per-cell centroid accumulators. sum_x/sum_y hold CELL-RELATIVE offset
+    sums (point minus its cell center): bounded to +-resolution/2, they
+    survive bf16 scatter matmuls exactly enough (~0.1% of 0.25 m) and are
+    invariant under rolling shifts. sum_z is absolute."""
+
     count: jnp.ndarray   # (G, G)
-    sum_x: jnp.ndarray   # (G, G) world x sums
+    sum_x: jnp.ndarray   # (G, G) cell-relative x-offset sums
     sum_y: jnp.ndarray
     sum_z: jnp.ndarray
     center: jnp.ndarray  # (2,) world xy of grid center
+    resolution: float = struct.field(pytree_node=False, default=0.5)
 
 
-def init_point_map(grid_size: int, dtype=jnp.float32) -> PointMapGrid:
+def init_point_map(grid_size: int, resolution: float = 0.5,
+                   dtype=jnp.float32) -> PointMapGrid:
     z = jnp.zeros((grid_size, grid_size), dtype)
     return PointMapGrid(count=z, sum_x=z, sum_y=z, sum_z=z,
-                        center=jnp.zeros(2, dtype))
+                        center=jnp.zeros(2, dtype), resolution=resolution)
 
 
 def shift_point_map(grid: PointMapGrid, new_center_xy: jnp.ndarray,
-                    resolution: float) -> PointMapGrid:
-    res = jnp.asarray(resolution, grid.center.dtype)
+                    resolution: float | None = None) -> PointMapGrid:
+    res = jnp.asarray(resolution or grid.resolution, grid.center.dtype)
     d = jnp.round((new_center_xy - grid.center) / res).astype(jnp.int32)
     center = grid.center + d.astype(grid.center.dtype) * res
     G = grid.count.shape[0]
@@ -56,28 +63,35 @@ def shift_point_map(grid: PointMapGrid, new_center_xy: jnp.ndarray,
 
     return PointMapGrid(count=move(grid.count), sum_x=move(grid.sum_x),
                         sum_y=move(grid.sum_y), sum_z=move(grid.sum_z),
-                        center=center)
+                        center=center, resolution=grid.resolution)
+
+
+def _cell_centers_1d(G: int, resolution: float, offset: jnp.ndarray):
+    return (jnp.arange(G) - G // 2 + 0.5) * resolution + offset
 
 
 def update_point_map(grid: PointMapGrid, xyz_world: jnp.ndarray,
-                     valid: jnp.ndarray, resolution: float) -> PointMapGrid:
+                     valid: jnp.ndarray, resolution: float | None = None,
+                     z_precision=None) -> PointMapGrid:
+    import jax as _jax
+    from slam_tpu.ops.scatter2d import scatter_add_2d
+
     G = grid.count.shape[0]
+    resolution = resolution or grid.resolution
     rel = xyz_world[:, :2] - grid.center
     cx = jnp.floor(rel[:, 0] / resolution).astype(jnp.int32) + G // 2
     cy = jnp.floor(rel[:, 1] / resolution).astype(jnp.int32) + G // 2
-    inb = valid & (cx >= 0) & (cy >= 0) & (cx < G) & (cy < G)
-    flat = jnp.where(inb, cx * G + cy, G * G)
-    w = inb.astype(xyz_world.dtype)
-
-    def scat(acc, v):
-        return acc + jnp.zeros((G * G + 1,), acc.dtype).at[flat].add(
-            w * v)[: G * G].reshape(G, G)
-
+    # cell-relative offsets: bf16-safe scatter values (see PointMapGrid)
+    ox = rel[:, 0] - (cx.astype(rel.dtype) - G // 2 + 0.5) * resolution
+    oy = rel[:, 1] - (cy.astype(rel.dtype) - G // 2 + 0.5) * resolution
+    vals = jnp.stack([jnp.ones_like(ox), ox, oy, xyz_world[:, 2]], -1)
+    prec = z_precision or _jax.lax.Precision.DEFAULT
+    acc = scatter_add_2d(cx, cy, vals, valid, (G, G), precision=prec)
     return grid.replace(
-        count=scat(grid.count, 1.0),
-        sum_x=scat(grid.sum_x, xyz_world[:, 0]),
-        sum_y=scat(grid.sum_y, xyz_world[:, 1]),
-        sum_z=scat(grid.sum_z, xyz_world[:, 2]),
+        count=grid.count + acc[..., 0],
+        sum_x=grid.sum_x + acc[..., 1],
+        sum_y=grid.sum_y + acc[..., 2],
+        sum_z=grid.sum_z + acc[..., 3],
     )
 
 
@@ -91,24 +105,32 @@ def export_points(grid: PointMapGrid, capacity: int, min_count: float = 1.0,
     compaction costs ~1 ms/robot on TPU; top_k + gathers are ~1000x faster)
     — overflow keeps the most-observed cells.
     """
+    from slam_tpu.ops.stencil import neighbor_sum_2d
+
     G = grid.count.shape[0]
     occ = grid.count >= min_count
-    empty = (~occ).astype(jnp.int32)
-    p = jnp.pad(empty, 1, constant_values=1)
-    box = (p[:-2, :-2] + p[:-2, 1:-1] + p[:-2, 2:]
-           + p[1:-1, :-2] + p[1:-1, 2:]
-           + p[2:, :-2] + p[2:, 1:-1] + p[2:, 2:])
+    empty = (~occ).astype(jnp.float32)
+    box = neighbor_sum_2d(empty)   # banded matmuls beat pad+shift stencils
     ii = jnp.arange(G)
     interior = ((ii > 0) & (ii < G - 1))[:, None] & \
         ((ii > 0) & (ii < G - 1))[None, :]
     ga = occ & interior & (box >= ga_threshold)
 
+    resolution = grid.resolution
     score = jnp.where(occ, grid.count, 0.0).reshape(-1)
-    v, idx = jax.lax.top_k(score, capacity)
+    # approx_max_k: TPU-native partial reduction (exact top_k lowers to a
+    # full 37k-element sort, ~50 ms/step at batch 1024); recall ~0.95 only
+    # matters when occupied cells exceed capacity, where dropping a few
+    # low-count cells is harmless
+    v, idx = jax.lax.approx_max_k(score, capacity, recall_target=0.95)
     sel = v >= min_count
     cnt = jnp.maximum(grid.count.reshape(-1)[idx], 1.0)
-    xyz = jnp.stack([grid.sum_x.reshape(-1)[idx] / cnt,
-                     grid.sum_y.reshape(-1)[idx] / cnt,
+    ci = idx // G
+    cj = idx % G
+    ctr_x = (ci - G // 2 + 0.5) * resolution + grid.center[0]
+    ctr_y = (cj - G // 2 + 0.5) * resolution + grid.center[1]
+    xyz = jnp.stack([ctr_x + grid.sum_x.reshape(-1)[idx] / cnt,
+                     ctr_y + grid.sum_y.reshape(-1)[idx] / cnt,
                      grid.sum_z.reshape(-1)[idx] / cnt], axis=-1)
     flags = jnp.where(ga.reshape(-1)[idx], PointCloud.FLAG_GA, 0)
     return PointCloud(xyz=jnp.where(sel[:, None], xyz, 0.0), valid=sel,

@@ -31,6 +31,8 @@ def classify_ground_adjacent(
     edge-bin points, icpTools.cpp:72-77; masking out would lose points, so we
     classify them NGA — only affects points >=half-extent away).
     """
+    from slam_tpu.ops.scatter2d import scatter_add_2d
+
     B = num_bins
     rel = cloud.xyz[..., :2] - center_xy
     bx = jnp.floor(rel[..., 0] / resolution).astype(jnp.int32) + B // 2
@@ -38,15 +40,12 @@ def classify_ground_adjacent(
     inb = (bx >= 0) & (by >= 0) & (bx < B) & (by < B) & cloud.valid
 
     flat = jnp.where(inb, bx * B + by, B * B)
-    counts = jnp.zeros((B * B + 1,), jnp.int32).at[flat].add(
-        jnp.where(inb, 1, 0))[: B * B].reshape(B, B)
+    counts = scatter_add_2d(bx, by, jnp.ones(bx.shape + (1,)), inb,
+                            (B, B))[..., 0].astype(jnp.int32)
 
-    empty = (counts == 0).astype(jnp.int32)
-    # 8-neighbor empty count: 3x3 box sum minus self
-    p = jnp.pad(empty, 1)
-    box = (p[:-2, :-2] + p[:-2, 1:-1] + p[:-2, 2:]
-           + p[1:-1, :-2] + p[1:-1, 2:]
-           + p[2:, :-2] + p[2:, 1:-1] + p[2:, 2:])
+    from slam_tpu.ops.stencil import neighbor_sum_2d
+    empty = (counts == 0).astype(jnp.float32)
+    box = neighbor_sum_2d(empty)  # 8-neighbor empty count
     # interior test (icpTools.cpp:72): edge bins are not classified GA
     ii = jnp.arange(B)
     interior = ((ii > 0) & (ii < B - 1))[:, None] & ((ii > 0) & (ii < B - 1))[None, :]

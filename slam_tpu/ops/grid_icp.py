@@ -54,8 +54,13 @@ def nearest_point_field(grid: PointMapGrid, resolution: float,
     G = grid.count.shape[0]
     occ = grid.count > 0
     cnt = jnp.maximum(grid.count, 1.0)
-    cx = grid.sum_x / cnt
-    cy = grid.sum_y / cnt
+    # centroids = cell centers + cell-relative offset means
+    base_x = ((jnp.arange(G) - G // 2 + 0.5) * grid.resolution
+              + grid.center[0])[:, None]
+    base_y = ((jnp.arange(G) - G // 2 + 0.5) * grid.resolution
+              + grid.center[1])[None, :]
+    cx = base_x + grid.sum_x / cnt
+    cy = base_y + grid.sum_y / cnt
 
     # GA classification on the grid (classifyPoints stencil, icpTools.cpp:63)
     empty = (~occ).astype(jnp.int32)

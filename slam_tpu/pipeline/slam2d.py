@@ -61,14 +61,18 @@ def init_state(key: jnp.ndarray, cfg: SlamConfig,
 
 def build_scene(scan_xyz: jnp.ndarray, hit: jnp.ndarray,
                 cfg: SlamConfig) -> PointCloud:
-    """CCICP::setSceneCloud for the 2D path (icpTools.cpp:611-634): classify
-    ground adjacency on the raw scan, then voxel downsample to capacity."""
-    cloud = cloud_from_xyz(scan_xyz, valid=hit)
-    cloud = classify_ground_adjacent(
-        cloud, jnp.zeros(2), cfg.icp.ga_num_bins, cfg.icp.ga_resolution,
-        cfg.icp.ga_threshold)
-    return voxel_downsample(cloud, cfg.icp.voxel_leaf_obs,
-                            cfg.cloud.scene_capacity)
+    """CCICP::setSceneCloud for the 2D path (icpTools.cpp:611-634): one local
+    grid rasterization yields both the voxel downsample (cell centroids at
+    the GA grid's 0.5 m resolution, icpTools.h:25) and the ground-adjacency
+    flags (classifyPoints stencil on the same occupancy) — replacing the
+    sort-based voxel filter + separate classify grid (the argsort alone cost
+    ~50 ms/step at batch 1024)."""
+    from slam_tpu.mapping.point_map import (export_points, init_point_map,
+                                            update_point_map)
+    g = init_point_map(cfg.icp.ga_num_bins)
+    g = update_point_map(g, scan_xyz, hit, cfg.icp.ga_resolution)
+    return export_points(g, cfg.cloud.scene_capacity,
+                         ga_threshold=cfg.icp.ga_threshold)
 
 
 def register_scan(scene: PointCloud, map_cloud: PointCloud,
@@ -107,7 +111,8 @@ def update_map_cloud(map_cloud: PointCloud, scene: PointCloud,
 
 
 def slam_step(state: SlamState, world: World2D, cfg: SlamConfig,
-              incremental_map: bool = True, field=None) -> SlamState:
+              incremental_map: bool = True, field=None,
+              refresh_map: bool = True) -> SlamState:
     """One full SLAM tick. Pure; jit/vmap/shard_map friendly.
 
     incremental_map: fold each registered scene into the map target (the
@@ -176,8 +181,14 @@ def slam_step(state: SlamState, world: World2D, cfg: SlamConfig,
         world_xyz = jnp.concatenate([world_xy, scene.xyz[..., 2:]], axis=-1)
         mg = shift_point_map(state.map_grid, fused[:2], res)
         mg = update_point_map(mg, world_xyz, scene.valid, res)
-        map_cloud = export_points(mg, state.map_cloud.capacity,
-                                  ga_threshold=cfg.icp.ga_threshold)
+        if refresh_map:
+            map_cloud = export_points(mg, state.map_cloud.capacity,
+                                      ga_threshold=cfg.icp.ga_threshold)
+        else:
+            # rollout refreshes the exported target at macro boundaries —
+            # the reference's own cadence (scan-reg targets update at
+            # graph_slam's 10 Hz, scan_registration.cpp:185-186)
+            map_cloud = state.map_cloud
     else:
         mg = state.map_grid
         map_cloud = state.map_cloud
@@ -211,24 +222,28 @@ def rollout(state: SlamState, world: World2D, cfg: SlamConfig, num_steps: int,
             field_every: int = 4):
     """Run num_steps ticks; returns (final_state, (est_traj, true_traj)).
 
-    The grid matcher's nearest-centroid field refreshes every `field_every`
-    ticks (amortizing the flood; the reference refreshes scan-reg targets at
-    10 Hz, not per scan). num_steps is rounded up to a multiple."""
-    if cfg.icp.matcher != "grid":
-        def body(s, _):
-            s = slam_step(s, world, cfg)
-            return s, (s.pose[:3], s.true_pose[:3])
-        return jax.lax.scan(body, state, None, length=num_steps)
-
-    from slam_tpu.ops.grid_icp import nearest_point_field
+    Derived map targets (exported cloud / nearest-centroid field) refresh
+    every `field_every` ticks — the reference's cadence (scan-reg targets
+    update at graph_slam's 10 Hz, not per scan). num_steps rounds up to a
+    multiple."""
+    from slam_tpu.mapping.point_map import export_points
     num_macro = -(-num_steps // field_every)
+    use_grid = cfg.icp.matcher == "grid"
+    if use_grid:
+        from slam_tpu.ops.grid_icp import nearest_point_field
 
     def macro(s, _):
-        field = nearest_point_field(s.map_grid, cfg.icp.voxel_leaf_obs[0],
-                                    cfg.icp.ga_threshold)
+        field = None
+        if use_grid:
+            field = nearest_point_field(s.map_grid, cfg.icp.voxel_leaf_obs[0],
+                                        cfg.icp.ga_threshold)
+        else:
+            s = s.replace(map_cloud=export_points(
+                s.map_grid, s.map_cloud.capacity,
+                ga_threshold=cfg.icp.ga_threshold))
 
         def tick(ss, _):
-            ss = slam_step(ss, world, cfg, field=field)
+            ss = slam_step(ss, world, cfg, field=field, refresh_map=False)
             return ss, (ss.pose[:3], ss.true_pose[:3])
 
         return jax.lax.scan(tick, s, None, length=field_every)

@@ -20,10 +20,14 @@ def test_field_matches_bruteforce_nn():
     pts = rng.uniform(-25, 25, (120, 2)).astype(np.float32)
     grid = _grid_from(pts)
     field = nearest_point_field(grid, 0.5)
-    # centroids (cells may merge nearby points)
+    # centroids (cells may merge nearby points); sums are cell-relative
+    G = grid.count.shape[0]
+    base = (np.arange(G) - G // 2 + 0.5) * 0.5
     occ = np.asarray(grid.count) > 0
-    cents = np.stack([np.asarray(grid.sum_x)[occ] / np.asarray(grid.count)[occ],
-                      np.asarray(grid.sum_y)[occ] / np.asarray(grid.count)[occ]],
+    bx = np.broadcast_to(base[:, None], (G, G))[occ]
+    by = np.broadcast_to(base[None, :], (G, G))[occ]
+    cents = np.stack([bx + np.asarray(grid.sum_x)[occ] / np.asarray(grid.count)[occ],
+                      by + np.asarray(grid.sum_y)[occ] / np.asarray(grid.count)[occ]],
                      -1)
     q = rng.uniform(-20, 20, (200, 2)).astype(np.float32)
     # isolated cells classify ground-adjacent -> query the GA field

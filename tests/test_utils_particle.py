@@ -21,16 +21,16 @@ def test_checkpoint_roundtrip_full_state():
     cfg = sim2d_config()
     world = world2d.make_world(jax.random.PRNGKey(42), cfg.sim)
     st = slam2d.init_state(jax.random.PRNGKey(0), cfg)
-    st, _ = slam2d.rollout(st, world, cfg, 10)
+    st, _ = slam2d.rollout(st, world, cfg, 12)  # multiple of field_every
     with tempfile.TemporaryDirectory() as d:
         path = os.path.join(d, "ck")
         ckpt.save(path, st)
         back = ckpt.restore(path, st)
     for a, b in zip(jax.tree.leaves(st), jax.tree.leaves(back)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-    # resumed state continues stepping
-    back2, _ = slam2d.rollout(back, world, cfg, 3)
-    assert int(back2.step) == 13
+    # resumed state continues stepping (steps round up to field_every)
+    back2, _ = slam2d.rollout(back, world, cfg, 4)
+    assert int(back2.step) == 16
 
 
 def test_stage_scope_and_throughput():
