@@ -120,11 +120,24 @@ def _icp_kernel(max_iter: int, inlier_dist: float, min_delta: float,
         converged = converged | (d < min_delta)
         return tx, ty, cth, sth, converged, ncorr, mres, delta
 
-    init = (init_ref[0, 0, 0], init_ref[0, 0, 1],
+    init = (jnp.int32(0), init_ref[0, 0, 0], init_ref[0, 0, 1],
             init_ref[0, 0, 2], init_ref[0, 0, 3],
             ~ok, jnp.float32(0.0), jnp.float32(0.0), jnp.float32(jnp.inf))
-    tx, ty, cth, sth, _, ncorr, mres, delta = jax.lax.fori_loop(
-        0, max_iter, body, init)
+
+    def cond(carry):
+        i, *_, converged, _n, _m, _d = carry
+        return (i < max_iter) & ~converged
+
+    def wbody(carry):
+        i = carry[0]
+        out = body(i, carry[1:])
+        return (i + 1,) + out
+
+    # while_loop: converged robots skip remaining iterations entirely
+    # (fitIterate's early break, icp.cpp:119-121) — typical convergence is
+    # 5-10 iterations, halving the kernel's work vs a fixed fori_loop
+    _, tx, ty, cth, sth, _, ncorr, mres, delta = jax.lax.while_loop(
+        cond, wbody, init)
     tx = jnp.where(ok, tx, init_ref[0, 0, 0])
     ty = jnp.where(ok, ty, init_ref[0, 0, 1])
     cth = jnp.where(ok, cth, init_ref[0, 0, 2])
