@@ -1,0 +1,63 @@
+"""Fleet-shared global map — BASELINE config 5's "shared map on TPU pod".
+
+Robots exploring one world merge their observations into a single map. The
+point-map grid is an additive sufficient statistic (counts + offset sums),
+so merging is a psum over the robot mesh axis — XLA rides it over ICI. The
+reference's analogue is graph_slam's single global MLS map fed by every
+scan (graph_slam.cpp:260-280), except here N robots feed it concurrently.
+
+Requires world-aligned grids (same center/resolution): use non-rolling
+shared frames (shift_point_map never called, center pinned at the origin),
+matching the reference's non-rolling global map (mls.h:191-206).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from slam_tpu.mapping.point_map import PointMapGrid
+
+
+def merge_maps(grids: PointMapGrid) -> PointMapGrid:
+    """Merge a batch of world-aligned grids (leading batch axis) into one."""
+    return PointMapGrid(
+        count=jnp.sum(grids.count, axis=0),
+        sum_x=jnp.sum(grids.sum_x, axis=0),
+        sum_y=jnp.sum(grids.sum_y, axis=0),
+        sum_z=jnp.sum(grids.sum_z, axis=0),
+        center=grids.center[0],
+        resolution=grids.resolution,
+    )
+
+
+def make_shared_map_merger(mesh: Mesh):
+    """shard_map merger: per-device partial sums + psum over the dp axis.
+
+    Input: batched world-aligned grids sharded over dp. Output: the merged
+    global grid, replicated. The psum is the only cross-device traffic —
+    one grid-sized all-reduce over ICI per merge.
+    """
+
+    def _merge_local(grids: PointMapGrid) -> PointMapGrid:
+        local = merge_maps(grids)
+        return PointMapGrid(
+            count=jax.lax.psum(local.count, "dp"),
+            sum_x=jax.lax.psum(local.sum_x, "dp"),
+            sum_y=jax.lax.psum(local.sum_y, "dp"),
+            sum_z=jax.lax.psum(local.sum_z, "dp"),
+            center=local.center,
+            resolution=local.resolution,
+        )
+
+    # P("dp") / P() as pytree prefixes: every grid leaf is batch-leading.
+    # Replication over unused mesh axes (sp) can't be statically inferred,
+    # so the rep check is disabled.
+    try:
+        sm = jax.shard_map(_merge_local, mesh=mesh, in_specs=(P("dp"),),
+                           out_specs=P(), check_vma=False)
+    except TypeError:  # older jax: check_rep
+        sm = jax.shard_map(_merge_local, mesh=mesh, in_specs=(P("dp"),),
+                           out_specs=P(), check_rep=False)
+    return jax.jit(sm)

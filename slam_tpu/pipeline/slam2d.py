@@ -34,7 +34,8 @@ from slam_tpu.types import (PointCloud, SlamState, cloud_from_xyz, make_cloud)
 
 
 def init_state(key: jnp.ndarray, cfg: SlamConfig,
-               with_graph: bool = False) -> SlamState:
+               with_graph: bool = False,
+               calibrate_gyro: bool = True) -> SlamState:
     graph = None
     map_grid = None
     if with_graph:
@@ -43,8 +44,16 @@ def init_state(key: jnp.ndarray, cfg: SlamConfig,
     else:
         from slam_tpu.mapping.point_map import init_point_map
         map_grid = init_point_map(cfg.mls.size_x)
+    # gyro-bias calibration: average stationary samples before driving
+    # (initialize_ekf, nasa_ekf.cpp:292-335 — 'DO NOT MOVE ROBOT')
+    key, k_cal = jax.random.split(key)
+    bias = 0.0
+    if calibrate_gyro:
+        samples = cfg.sim.gyro_bias + cfg.sim.gyro_noise * jax.random.normal(
+            k_cal, (cfg.ekf.num_init_imu_samples,))
+        bias = ekf_mod.estimate_gyro_bias(samples)
     return SlamState(
-        ekf=ekf_mod.init_ekf(cfg.ekf),
+        ekf=ekf_mod.init_ekf(cfg.ekf, gyro_bias=bias),
         pose=jnp.zeros(4),
         scan_reg_pose=jnp.zeros(4),
         scan_reg_ok=jnp.asarray(False),

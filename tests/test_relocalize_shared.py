@@ -1,0 +1,101 @@
+"""Kidnapped-robot relocalization (global_matching parity) + fleet-shared map
+merging (BASELINE config 5)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slam_tpu.config import sim2d_config
+from slam_tpu.mapping.point_map import (export_points, init_point_map,
+                                        update_point_map)
+from slam_tpu.parallel.mesh import make_mesh
+from slam_tpu.parallel.shared_map import make_shared_map_merger, merge_maps
+from slam_tpu.pipeline import slam2d
+from slam_tpu.pipeline.relocalize import apply_relocalization, relocalize
+from slam_tpu.sim import world2d
+
+
+def _cfg():
+    c = sim2d_config()
+    return dataclasses.replace(
+        c, global_match=dataclasses.replace(
+            c.global_match, num_rotations=64, grid_size=192,
+            grid_resolution=0.5, accept_score=0.35))
+
+
+def test_kidnapped_robot_recovers():
+    cfg = _cfg()
+    world = world2d.make_world(jax.random.PRNGKey(42), cfg.sim)
+    st = slam2d.init_state(jax.random.PRNGKey(0), cfg)
+    st, _ = slam2d.rollout(st, world, cfg, 80)
+
+    # kidnap: corrupt the belief by ~8 m and a large rotation
+    mu = st.ekf.mu.at[0].add(8.0).at[1].add(-5.0).at[6].add(1.2)
+    st_lost = st.replace(ekf=st.ekf.replace(mu=mu),
+                         pose=st.pose.at[0].add(8.0).at[1].add(-5.0)
+                         .at[2].add(1.2))
+    true = np.asarray(st.true_pose)
+
+    # take a fresh scan at the TRUE pose and relocalize against the map
+    ranges, hit = world2d.raycast(world, st.true_pose[:3], cfg.sim)
+    scan_xyz, hit = world2d.scan_to_points(ranges, hit, cfg.sim)
+    scene = slam2d.build_scene(scan_xyz, hit, cfg)
+
+    match = relocalize(st_lost, scene, cfg)
+    assert bool(match.ok), f"relocalization rejected: {float(match.score)}"
+    got = np.asarray(match.pose)
+    assert np.linalg.norm(got[:2] - true[:2]) < 0.6, (got, true)
+    dyaw = np.arctan2(np.sin(got[2] - true[2]), np.cos(got[2] - true[2]))
+    assert abs(dyaw) < 0.12
+
+    st_fixed = apply_relocalization(st_lost, match)
+    assert np.linalg.norm(np.asarray(st_fixed.ekf.mu[:2]) - true[:2]) < 0.6
+
+
+def test_relocalization_rejected_keeps_state():
+    cfg = _cfg()
+    world = world2d.make_world(jax.random.PRNGKey(42), cfg.sim)
+    st = slam2d.init_state(jax.random.PRNGKey(0), cfg)
+    st, _ = slam2d.rollout(st, world, cfg, 40)
+    # garbage scene -> rejection -> state unchanged
+    from slam_tpu.types import make_cloud
+    garbage = make_cloud(64)
+    match = relocalize(st, garbage, cfg)
+    assert not bool(match.ok)
+    st2 = apply_relocalization(st, match)
+    np.testing.assert_allclose(np.asarray(st2.ekf.mu), np.asarray(st.ekf.mu))
+
+
+def _grid_with_points(pts, G=96):
+    g = init_point_map(G, resolution=0.5)
+    xyz = np.concatenate([pts, np.zeros((len(pts), 1), np.float32)], 1)
+    return update_point_map(g, jnp.array(xyz), jnp.ones(len(pts), bool))
+
+
+def test_merge_maps_combines_contributions():
+    a = _grid_with_points(np.array([[1.0, 1.0], [2.0, 2.0]], np.float32))
+    b = _grid_with_points(np.array([[-3.0, 0.5], [2.0, 2.0]], np.float32))
+    grids = jax.tree.map(lambda x, y: jnp.stack([x, y]), a, b)
+    merged = merge_maps(grids)
+    cloud = export_points(merged, 16)
+    pts = np.asarray(cloud.xyz[np.asarray(cloud.valid)])
+    assert len(pts) == 3
+    # the shared cell accumulated both robots' observations
+    assert float(merged.count.max()) == 2.0
+
+
+def test_shared_map_psum_on_mesh():
+    mesh = make_mesh(8, sp=1)
+    B = 8
+    rng = np.random.default_rng(0)
+    grids = [_grid_with_points(
+        rng.uniform(-20, 20, (16, 2)).astype(np.float32)) for _ in range(B)]
+    batched = jax.tree.map(lambda *xs: jnp.stack(xs), *grids)
+    merger = make_shared_map_merger(mesh)
+    merged = merger(batched)
+    ref = merge_maps(batched)
+    np.testing.assert_allclose(np.asarray(merged.count), np.asarray(ref.count))
+    np.testing.assert_allclose(np.asarray(merged.sum_x), np.asarray(ref.sum_x),
+                               atol=1e-5)
