@@ -1,0 +1,50 @@
+"""Example: vmapped robot fleet with throughput reporting.
+
+    python examples/run_fleet.py [--batch 1024] [--steps 50]
+"""
+
+import argparse
+import sys
+import os as _os
+sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+import time
+
+import jax
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--steps", type=int, default=40)
+    args = ap.parse_args()
+
+    from slam_tpu.config import sim2d_config
+    from slam_tpu.pipeline import slam2d
+    from slam_tpu.sim import world2d
+    from slam_tpu.utils.profiling import Throughput
+
+    cfg = sim2d_config()
+    world = world2d.make_world(jax.random.PRNGKey(42), cfg.sim)
+    keys = jax.random.split(jax.random.PRNGKey(0), args.batch)
+    states = jax.vmap(lambda k: slam2d.init_state(k, cfg))(keys)
+
+    run = jax.jit(lambda s: jax.vmap(
+        lambda x: slam2d.rollout(x, world, cfg, args.steps))(s)[0])
+    states = run(states)
+    jax.block_until_ready(states.pose)
+
+    t = Throughput(batch=args.batch)
+    states = run(states)
+    jax.block_until_ready(states.pose)
+    t.tick(args.steps)
+    err = np.linalg.norm(
+        np.asarray(states.pose[:, :2] - states.true_pose[:, :2]), axis=1)
+    print(f"{t.robot_steps_per_sec:,.0f} robot-steps/s on "
+          f"{jax.default_backend()}  |  fleet median xy error "
+          f"{np.median(err):.3f} m  |  icp ok {int(states.scan_reg_ok.sum())}"
+          f"/{args.batch}")
+
+
+if __name__ == "__main__":
+    main()

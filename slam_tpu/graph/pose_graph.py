@@ -321,6 +321,36 @@ def optimize(graph: PoseGraph, cfg: GraphConfig) -> tuple[PoseGraph, jnp.ndarray
     return graph.replace(node_pose=new_pose), delta
 
 
+def regenerate_map_mls(graph: PoseGraph, mls_cfg, capacity: int):
+    """Reference-faithful global map regeneration (regenerateGlobalMap,
+    graph_slam.cpp:260-280): clear the global MLS and re-add every keyframe
+    cloud under its optimized pose, then export cluster means as the
+    obstacle/ground target clouds (getSegmentedClouds, mls.cpp:520-555).
+
+    Returns (obstacle_cloud, ground_cloud, mls_grid). The MLS grid is
+    non-rolling, centered at the origin (mls.h:191-206 global-map mode).
+    """
+    from slam_tpu.mapping.mls import (add_to_mls, get_segmented_clouds,
+                                      init_mls)
+
+    N = graph.kf_xyz.shape[0]
+    grid0 = init_mls(mls_cfg)
+
+    def add_kf(grid, i):
+        pose = graph.node_pose[i]
+        xy = se2_apply(pose[:3], graph.kf_xyz[i][:, :2])
+        z = graph.kf_xyz[i][:, 2] + pose[3]
+        cloud = PointCloud(
+            xyz=jnp.concatenate([xy, z[:, None]], axis=-1),
+            valid=graph.kf_valid[i] & graph.node_valid[i],
+            flags=graph.kf_flags[i])
+        return add_to_mls(grid, cloud, mls_cfg), None
+
+    grid, _ = jax.lax.scan(add_kf, grid0, jnp.arange(N))
+    obs, gnd = get_segmented_clouds(grid, mls_cfg, capacity)
+    return obs, gnd, grid
+
+
 def regenerate_map(graph: PoseGraph, capacity: int,
                    voxel_leaf=(0.5, 0.5, 2.0)) -> PointCloud:
     """Re-scatter all keyframe clouds under optimized poses into one map cloud

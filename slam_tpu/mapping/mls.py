@@ -276,9 +276,13 @@ def _drivability(grid: MlsGrid, touched: jnp.ndarray,
 
 
 def get_segmented_clouds(grid: MlsGrid, cfg: MlsConfig, capacity: int):
-    """Export cluster means as obstacle/ground clouds in world frame
+    """Export cluster means as obstacle/ground clouds
     (MLS::getSegmentedClouds, mls.cpp:520-555): ground cluster of drivable
-    cells -> ground; everything else initialized -> obstacle."""
+    cells -> ground; everything else initialized -> obstacle.
+
+    Cluster means are stored in the frame the input clouds were given in
+    (robot-centered for rolling local maps, world for the global map) and
+    export in that same frame."""
     H, W, K = grid.num_pts.shape
     initialized = grid.num_pts >= cfg.min_cluster_points
     gidx = jnp.argmax(initialized, axis=-1)
@@ -287,10 +291,7 @@ def get_segmented_clouds(grid: MlsGrid, cfg: MlsConfig, capacity: int):
         (grid.drivable == 1)[..., None]
     is_obstacle = initialized & ~is_ground_cluster
 
-    offset = jnp.array([(grid.center[0] - (H // 2) * cfg.resolution),
-                        (grid.center[1] - (W // 2) * cfg.resolution), 0.0])
-    # cell-local means are stored robot-centered; lift to world
-    xyz = grid.mean.reshape(-1, 3) + offset
+    xyz = grid.mean.reshape(-1, 3)
     obs_score = jnp.where(is_obstacle.reshape(-1), grid.num_pts.reshape(-1),
                           -1.0)
     gnd_score = jnp.where(is_ground_cluster.reshape(-1),

@@ -103,6 +103,27 @@ def register_scan(scene: PointCloud, map_cloud: PointCloud,
         init_pose_xyyaw, cfg.icp)
 
 
+def register_scan_to_scan(scene: PointCloud, prev_scene: PointCloud,
+                          prev_pose: jnp.ndarray, init_pose: jnp.ndarray,
+                          cfg: SlamConfig):
+    """SCAN_TO_SCAN registration (CCICP type SCAN_TO_SCAN,
+    icpTools.cpp:592-607): the previous segmented scan, placed at its
+    registered pose, is the model. Returns the scene's absolute pose."""
+    from slam_tpu.geometry import se2_apply
+
+    target_xy = se2_apply(prev_pose[:3], prev_scene.xyz[..., :2])
+    target = prev_scene.replace(
+        xyz=jnp.concatenate([target_xy, prev_scene.xyz[..., 2:]], axis=-1))
+    if cfg.icp.matcher == "fused" and jax.default_backend() == "tpu":
+        from slam_tpu.ops.icp_pallas import make_icp_fused
+        return make_icp_fused(cfg.icp)(
+            scene.xyz[..., :2], scene.valid, scene.is_ga(),
+            target.xyz[..., :2], target.valid, target.is_ga(), init_pose)
+    return icp_fit(scene.xyz[..., :2], scene.valid, scene.is_ga(),
+                   target.xyz[..., :2], target.valid, target.is_ga(),
+                   init_pose, cfg.icp)
+
+
 def update_map_cloud(map_cloud: PointCloud, scene: PointCloud,
                      pose_xyyaw: jnp.ndarray, cfg: SlamConfig) -> PointCloud:
     """Fold the registered scene into the persistent map target — the role of

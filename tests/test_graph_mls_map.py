@@ -1,0 +1,36 @@
+"""MLS-based global map regeneration from keyframes (regenerateGlobalMap
+parity: graph_slam.cpp:260-280 + getSegmentedClouds export)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slam_tpu.config import GraphConfig, IcpConfig, MlsConfig
+from slam_tpu.graph import pose_graph as pg
+from tests.test_pose_graph import _landmarks, world_cloud_at
+
+
+def test_regenerate_map_mls():
+    gcfg = GraphConfig(max_nodes=8, max_edges=32, keyframe_points=64,
+                       knn_dist_thresh=2.0)
+    icfg = IcpConfig(max_points=64, inlier_dist=4.0, max_iterations=10)
+    mcfg = MlsConfig(size_x=64, size_y=64, resolution=0.5, rolling=False,
+                     min_cluster_points=2.0, max_range=50.0, update_dist=32)
+    pts = _landmarks(n=30)
+    graph = pg.init_graph(gcfg)
+    for p in [np.array([0, 0, 0, 0], np.float32),
+              np.array([3, 0, 0.2, 0], np.float32),
+              np.array([5, 2, 0.4, 0], np.float32)]:
+        graph, added = pg.add_keyframe(graph, jnp.array(p),
+                                       world_cloud_at(p, pts), icfg, gcfg)
+        assert bool(added)
+
+    obs, gnd, grid = pg.regenerate_map_mls(graph, mcfg, capacity=128)
+    total = int(obs.count()) + int(gnd.count())
+    assert total > 10
+    # exported cluster means must sit near true landmarks (within a cell)
+    world = np.concatenate([
+        np.asarray(obs.xyz[np.asarray(obs.valid)]),
+        np.asarray(gnd.xyz[np.asarray(gnd.valid)])])
+    d = np.linalg.norm(world[:, None, :2] - pts[None], axis=-1).min(1)
+    assert np.median(d) < 0.5, float(np.median(d))
