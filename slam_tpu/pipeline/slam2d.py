@@ -167,6 +167,30 @@ def slam_step(state: SlamState, world: World2D, cfg: SlamConfig,
     gyro = cmd[2] + cfg.sim.gyro_bias + cfg.sim.gyro_noise * \
         jax.random.normal(k_gyro)
 
+    state = process_frame(state, scan_xyz, hit, gyro, cmd, cfg,
+                          incremental_map=incremental_map, field=field,
+                          refresh_map=refresh_map)
+    return state.replace(true_pose=jnp.concatenate([true2, jnp.zeros(1)]),
+                         rng=key)
+
+
+def slam_step_io(state: SlamState, scan_xyz, hit, gyro, cmd,
+                 cfg: SlamConfig, field=None,
+                 refresh_map: bool = True) -> SlamState:
+    """SLAM tick driven by EXTERNAL sensor frames (live deployment / replay
+    through the native transport, or oracle comparisons): scan points in the
+    robot frame, raw gyro z, commanded body velocity."""
+    return process_frame(state, scan_xyz, hit, gyro, cmd, cfg, field=field,
+                         refresh_map=refresh_map)
+
+
+def process_frame(state: SlamState, scan_xyz, hit, gyro, cmd,
+                  cfg: SlamConfig, incremental_map: bool = True, field=None,
+                  refresh_map: bool = True) -> SlamState:
+    """Sensor frame -> updated SLAM state (the fused node graph minus the
+    simulator): EKF predict/gyro -> scene -> registration -> fuse -> maps."""
+    dt = cfg.sim.dt
+
     # --- EKF predict + gyro update (nasa_ekf.cpp:421-446 order) ---
     ekf = ekf_mod.motion_update(state.ekf, cmd, dt, cfg.ekf)
     ekf = ekf_mod.yaw_rate_update(ekf, gyro, cfg.ekf)
@@ -242,8 +266,6 @@ def slam_step(state: SlamState, world: World2D, cfg: SlamConfig,
         map_cloud=map_cloud,
         map_grid=mg,
         step=state.step + 1,
-        true_pose=jnp.concatenate([true2, jnp.zeros(1)]),
-        rng=key,
     )
 
 
