@@ -88,14 +88,22 @@ def slam_step_3d(state: SlamState, world: World3D, ground_map: PointCloud,
     dt = cfg.sim.dt
     key, k_noise, k_gyro = jax.random.split(state.rng, 3)
 
-    # --- sim: drive on terrain + sense ---
+    # --- sim: drive on terrain + sense (robot tilts with the surface) ---
     cmd = world2d.drive_cmd(state.step, dt)
     cmd = ekf_mod.clamp_cmd(cmd, cfg.ekf)
     true2 = world2d.unicycle_step(state.true_pose[:3], cmd, dt)
     true_z = world3d.terrain_height(world, true2[:2]) + cfg.sim.sensor_height
-    scan_xyz, hit = world3d.raycast(world, true2, cfg.sim, noise_key=k_noise)
-    gyro = cmd[2] + cfg.sim.gyro_bias + cfg.sim.gyro_noise * \
-        jax.random.normal(k_gyro)
+    roll, pitch = world3d.terrain_attitude(world, true2[:2])
+    scan_tilted, hit = world3d.raycast(world, true2, cfg.sim,
+                                       noise_key=k_noise, roll=roll,
+                                       pitch=pitch)
+    # IMU roll/pitch compensation (pointcloud_filter.cpp:103-148): rotate the
+    # tilted sensor frame upright using the measured attitude
+    from slam_tpu.geometry import rp_compensate
+    imu_noise = cfg.sim.gyro_noise * jax.random.normal(k_gyro, (3,))
+    scan_xyz = rp_compensate(scan_tilted, roll + imu_noise[0],
+                             pitch + imu_noise[1])
+    gyro = cmd[2] + cfg.sim.gyro_bias + imu_noise[2]
 
     # --- EKF predict + gyro ---
     ekf = ekf_mod.motion_update(state.ekf, cmd, dt, cfg.ekf)

@@ -63,18 +63,36 @@ def ray_directions(cfg: SimConfig, yaw: jnp.ndarray) -> jnp.ndarray:
     return d.reshape(-1, 3)
 
 
+def terrain_attitude(world: World3D, xy: jnp.ndarray, eps: float = 0.25):
+    """(roll, pitch) of a robot resting on the terrain at xy (finite-diff
+    surface gradient; small-angle, matching a rover's suspension)."""
+    gx = (terrain_height(world, xy + jnp.array([eps, 0.0]))
+          - terrain_height(world, xy - jnp.array([eps, 0.0]))) / (2 * eps)
+    gy = (terrain_height(world, xy + jnp.array([0.0, eps]))
+          - terrain_height(world, xy - jnp.array([0.0, eps]))) / (2 * eps)
+    return jnp.arctan(gy), -jnp.arctan(gx)  # roll about x, pitch about y
+
+
 def raycast(world: World3D, pose_xyyaw: jnp.ndarray, cfg: SimConfig,
-            noise_key=None, march_steps: int = 48, refine_steps: int = 12):
+            noise_key=None, march_steps: int = 48, refine_steps: int = 12,
+            roll=0.0, pitch=0.0):
     """Cast the Velodyne pattern from the sensor above the terrain.
 
-    Returns (points (R*A, 3) in SENSOR frame (world-oriented, sensor-centered),
-    hit mask). Sensor origin: (x, y, g(x,y) + sensor_height).
+    Returns (points (R*A, 3) in SENSOR frame (tilted by roll/pitch,
+    sensor-centered), hit mask). Sensor origin: (x, y, g(x,y)+sensor_height).
+    With nonzero roll/pitch, the sensor frame is tilted — the consumer must
+    roll/pitch-compensate (pointcloud_filter.cpp:103-148).
     """
+    from slam_tpu.geometry import rot3_from_rpy
+
     x, y, yaw = pose_xyyaw[0], pose_xyyaw[1], pose_xyyaw[2]
     o = jnp.stack([x, y, terrain_height(world, jnp.stack([x, y]))
                    + cfg.sensor_height])
-    d = ray_directions(cfg, yaw)          # world-frame dirs (for intersection)
     d_local = ray_directions(cfg, jnp.zeros_like(yaw))  # sensor-frame output
+    # world dirs: yaw is baked into ray_directions; tilt applied on top
+    roll = jnp.asarray(roll)
+    Rt = rot3_from_rpy(roll, jnp.asarray(pitch), yaw)
+    d = jnp.einsum("ij,nj->ni", Rt, d_local)
     tmax = cfg.beam_max_range
 
     # terrain: fixed march to bracket the first crossing, then bisection
