@@ -180,6 +180,35 @@ def slam_step_3d(state: SlamState, world: World3D, ground_map: PointCloud,
     return new_state, ground_map
 
 
+@partial(jax.jit, static_argnames=("cfg", "num_macro", "graph_every"))
+def rollout_3d_with_graph(state: SlamState, world: World3D,
+                          ground_map: PointCloud, cfg: SlamConfig,
+                          num_macro: int, graph_every: int = 8):
+    """Full 3D stack with pose-graph SLAM in the loop: `graph_every` fused
+    scan ticks per graph tick (the reference's 10 Hz graph_slam loop under
+    the per-scan registration loop). Reuses the 2D graph_update — keyframes
+    are the segmented obstacle scenes; edges come from the same planar ICP
+    the reference uses (its graph edges are planar-ICP derived too)."""
+    from slam_tpu.pipeline.slam2d import graph_update
+
+    def macro(carry, _):
+        s, gm = carry
+
+        def tick(c, _):
+            ss, g = c
+            ss, g = slam_step_3d(ss, world, g, cfg)
+            return (ss, g), (ss.pose, ss.true_pose)
+
+        (s, gm), traj = jax.lax.scan(tick, (s, gm), None, length=graph_every)
+        s = graph_update(s, cfg)
+        return (s, gm), traj
+
+    (final, gm), traj = jax.lax.scan(macro, (state, ground_map), None,
+                                     length=num_macro)
+    est, true = traj
+    return final, gm, (est.reshape(-1, 4), true.reshape(-1, 4))
+
+
 @partial(jax.jit, static_argnames=("cfg", "num_steps"))
 def rollout_3d(state: SlamState, world: World3D, ground_map: PointCloud,
                cfg: SlamConfig, num_steps: int):
