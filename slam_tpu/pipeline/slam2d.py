@@ -126,9 +126,9 @@ def register_scan_to_scan(scene: PointCloud, prev_scene: PointCloud,
 
 def update_map_cloud(map_cloud: PointCloud, scene: PointCloud,
                      pose_xyyaw: jnp.ndarray, cfg: SlamConfig) -> PointCloud:
-    """Fold the registered scene into the persistent map target — the role of
-    graph_slam's republished global obstacle cloud (graph_slam.cpp:562-583),
-    maintained incrementally: transform to world, concat, voxel-merge."""
+    """Concat + voxel-merge map maintenance (kept as the cloud-level API;
+    the hot path uses the point-map grid in mapping/point_map.py instead —
+    sort-free and ~20x cheaper on TPU)."""
     world_xy = se2_apply(pose_xyyaw, scene.xyz[..., :2])
     world_xyz = jnp.concatenate([world_xy, scene.xyz[..., 2:]], axis=-1)
     merged = PointCloud(
