@@ -95,9 +95,14 @@ def _edge_measurement(graph: PoseGraph, i: jnp.ndarray, j: jnp.ndarray,
     model_valid = graph.kf_valid[i]
     model_ga = (graph.kf_flags[i] & PointCloud.FLAG_GA) != 0
 
-    ecfg = icp_cfg
-    res = icp_fit(scene_xyz, scene_valid, scene_ga,
-                  model_xyz, model_valid, model_ga, init_rel, ecfg)
+    if jax.default_backend() == "tpu":
+        from slam_tpu.ops.icp_pallas import make_icp_fused
+        res = make_icp_fused(icp_cfg)(scene_xyz, scene_valid, scene_ga,
+                                      model_xyz, model_valid, model_ga,
+                                      init_rel)
+    else:
+        res = icp_fit(scene_xyz, scene_valid, scene_ga,
+                      model_xyz, model_valid, model_ga, init_rel, icp_cfg)
 
     # information from final correspondences (computeEdgeInformationLUM core,
     # graphSlamTools.cpp:108-214, restricted to the (x, y, yaw) block)
