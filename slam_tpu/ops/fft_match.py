@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from slam_tpu.config import GlobalMatchConfig, IcpConfig
-from slam_tpu.geometry import rot2, se2_compose
+from slam_tpu.geometry import rot2
 from slam_tpu.ops.icp import icp_fit
 from slam_tpu.types import PointCloud
 

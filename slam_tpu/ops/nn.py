@@ -11,7 +11,6 @@ instead of separate trees.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
