@@ -12,6 +12,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import argparse
+import functools
 import json
 import time
 
@@ -37,7 +38,7 @@ def main():
     keys = jax.random.split(jax.random.PRNGKey(0), B)
     states = jax.vmap(lambda k: slam2d.init_state(k, cfg))(keys)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=0)
     def run_block(s):
         out, _ = jax.vmap(
             lambda x: slam2d.rollout(x, world, cfg, args.steps))(s)

@@ -1,0 +1,52 @@
+"""Render a binary replay file of simulated sensor frames — the framework's
+'rosbag' (consumed by the native replay loader, runtime/src/slamrt.cpp).
+
+Frame layout (little-endian float32): [ranges(num_beams), gyro, cmd(3)].
+
+    python tools/make_replay.py --frames 500 --out /tmp/scans.bin
+"""
+
+import argparse
+import sys
+import os as _os
+sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=500)
+    ap.add_argument("--out", default="/tmp/scans.bin")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    from slam_tpu.config import sim2d_config
+    from slam_tpu.sim import world2d
+
+    cfg = sim2d_config()
+    world = world2d.make_world(jax.random.PRNGKey(42), cfg.sim)
+
+    def body(pose, step):
+        cmd = world2d.drive_cmd(step, cfg.sim.dt)
+        pose = world2d.unicycle_step(pose, cmd, cfg.sim.dt)
+        r, h = world2d.raycast(world, pose, cfg.sim)
+        return pose, (r, cmd)
+
+    _, (rs, cmds) = jax.lax.scan(body, jnp.zeros(3), jnp.arange(args.frames))
+    rng = np.random.default_rng(args.seed)
+    ranges = np.asarray(rs) + rng.normal(0, cfg.sim.range_noise,
+                                         np.asarray(rs).shape)
+    gyro = np.asarray(cmds)[:, 2:3] + cfg.sim.gyro_bias
+    frames = np.concatenate([ranges, gyro, np.asarray(cmds)],
+                            axis=1).astype("<f4")
+    with open(args.out, "wb") as f:
+        f.write(frames.tobytes())
+    print(f"wrote {args.frames} frames x {frames.shape[1]} floats to "
+          f"{args.out} ({frames.nbytes} bytes)")
+
+
+if __name__ == "__main__":
+    main()
