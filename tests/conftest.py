@@ -15,5 +15,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# SLAM_TPU_TEST_ON_TPU=1 runs the suite against the real chip (pallas paths
+# live); default is the 8-device virtual CPU mesh.
+if not os.environ.get("SLAM_TPU_TEST_ON_TPU"):
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
