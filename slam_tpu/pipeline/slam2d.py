@@ -176,11 +176,13 @@ def slam_step(state: SlamState, world: World2D, cfg: SlamConfig,
 
 def slam_step_io(state: SlamState, scan_xyz, hit, gyro, cmd,
                  cfg: SlamConfig, field=None,
+                 incremental_map: bool = True,
                  refresh_map: bool = True) -> SlamState:
     """SLAM tick driven by EXTERNAL sensor frames (live deployment / replay
     through the native transport, or oracle comparisons): scan points in the
     robot frame, raw gyro z, commanded body velocity."""
     return process_frame(state, scan_xyz, hit, gyro, cmd, cfg, field=field,
+                         incremental_map=incremental_map,
                          refresh_map=refresh_map)
 
 
