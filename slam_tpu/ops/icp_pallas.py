@@ -37,15 +37,21 @@ BIG = 1e30
 
 
 def _icp_kernel(max_iter: int, inlier_dist: float, min_delta: float,
-                min_scene: int,
-                sx_ref, sy_ref, sc_ref, mx_ref, my_ref, mc_ref, init_ref,
-                out_ref):
-    sx = sx_ref[0]            # (S, 1)
-    sy = sy_ref[0]
-    sc = sc_ref[0]            # class: -1 pad/invalid, 0 NGA, 1 GA
-    mx = mx_ref[0]            # (1, C)
-    my = my_ref[0]
-    mc = mc_ref[0]            # class: 0/1, 2 = invalid
+                min_scene: int, s_ref, m_ref, init_ref, out_ref):
+    """s_ref: (1, S, 3) = [x, y, class(-1 pad/0 NGA/1 GA)];
+    m_ref: (1, C, 3) = [x, y, class(0/1, 2=invalid)].
+
+    Whole-array operands avoid host-side plane extraction: slicing columns
+    of (N, 3) arrays in XLA relayouts them into linear-tiled pallas operands
+    (~11 ms per plane per step at batch 1024). Columns are sliced in VMEM;
+    the model columns transpose to lane vectors once, amortized over all
+    iterations."""
+    sx = s_ref[0][:, 0:1]     # (S, 1)
+    sy = s_ref[0][:, 1:2]
+    sc = s_ref[0][:, 2:3]     # class: -1 pad/invalid, 0 NGA, 1 GA
+    mx = jnp.transpose(m_ref[0][:, 0:1])   # (1, C)
+    my = jnp.transpose(m_ref[0][:, 1:2])
+    mc = jnp.transpose(m_ref[0][:, 2:3])   # class: 0/1, 2 = invalid
 
     m_ga = jnp.sum(jnp.where(mc == 1.0, 1.0, 0.0))
     m_nga = jnp.sum(jnp.where(mc == 0.0, 1.0, 0.0))
@@ -149,18 +155,18 @@ def _icp_kernel(max_iter: int, inlier_dist: float, min_delta: float,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def _icp_batched(sx, sy, sc, mx, my, mc, init, cfg: IcpConfig):
-    """All inputs batched: s* (B, S), m* (B, C), init (B, 3) [x, y, yaw]."""
-    B, S = sx.shape
-    C = mx.shape[1]
+def _icp_batched(s3, m3, init, cfg: IcpConfig):
+    """s3: (B, S, 3), m3: (B, C, 3) = [x, y, class]; init (B, 3) [x, y, yaw]."""
+    B, S, _ = s3.shape
+    C = m3.shape[1]
 
     kern = functools.partial(
         _icp_kernel, cfg.max_iterations, cfg.inlier_dist, cfg.min_delta,
         cfg.min_scene_points)
 
-    q_spec = pl.BlockSpec((1, S, 1), lambda b: (b, 0, 0),
+    q_spec = pl.BlockSpec((1, S, 3), lambda b: (b, 0, 0),
                           memory_space=pltpu.VMEM)
-    m_spec = pl.BlockSpec((1, 1, C), lambda b: (b, 0, 0),
+    m_spec = pl.BlockSpec((1, C, 3), lambda b: (b, 0, 0),
                           memory_space=pltpu.VMEM)
     # scalar blocks must be 3D: only the last two block dims are constrained
     # (divisible by (8,128) or equal to the array dims)
@@ -175,12 +181,11 @@ def _icp_batched(sx, sy, sc, mx, my, mc, init, cfg: IcpConfig):
     out = pl.pallas_call(
         kern,
         grid=(B,),
-        in_specs=[q_spec, q_spec, q_spec, m_spec, m_spec, m_spec, i_spec],
+        in_specs=[q_spec, m_spec, i_spec],
         out_specs=o_spec,
         out_shape=jax.ShapeDtypeStruct((B, 1, 8), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
-    )(sx[..., None], sy[..., None], sc[..., None],
-      mx[:, None, :], my[:, None, :], mc[:, None, :], init4[:, None, :])
+    )(s3, m3, init4[:, None, :])
 
     out = out[:, 0]
     pose = jnp.stack([out[:, 0], out[:, 1],
@@ -194,9 +199,11 @@ def _icp_batched(sx, sy, sc, mx, my, mc, init, cfg: IcpConfig):
     )
 
 
-def _pack_classes(valid, ga, invalid_code):
+def _pack3(xy, valid, ga, invalid_code):
+    """(N, 3) = [x, y, class]: reuses the xyz layout so no plane extraction."""
     c = jnp.where(ga, 1.0, 0.0)
-    return jnp.where(valid, c, invalid_code)
+    c = jnp.where(valid, c, invalid_code)
+    return jnp.concatenate([xy[..., :2], c[..., None]], axis=-1)
 
 
 @functools.lru_cache(maxsize=None)
@@ -207,11 +214,9 @@ def make_icp_fused(cfg: IcpConfig):
     @jax.custom_batching.custom_vmap
     def icp_fit_fused(scene_xy, scene_valid, scene_ga, model_xy, model_valid,
                       model_ga, init_pose):
-        sc = _pack_classes(scene_valid, scene_ga, -1.0)
-        mc = _pack_classes(model_valid, model_ga, 2.0)
-        r = _icp_batched(scene_xy[None, :, 0], scene_xy[None, :, 1], sc[None],
-                         model_xy[None, :, 0], model_xy[None, :, 1], mc[None],
-                         init_pose[None], cfg)
+        s3 = _pack3(scene_xy, scene_valid, scene_ga, -1.0)
+        m3 = _pack3(model_xy, model_valid, model_ga, 2.0)
+        r = _icp_batched(s3[None], m3[None], init_pose[None], cfg)
         return jax.tree.map(lambda x: x[0], r)
 
     @icp_fit_fused.def_vmap
@@ -228,11 +233,9 @@ def make_icp_fused(cfg: IcpConfig):
         model_valid = bcast(model_valid, in_batched[4])
         model_ga = bcast(model_ga, in_batched[5])
         init_pose = bcast(init_pose, in_batched[6])
-        sc = _pack_classes(scene_valid, scene_ga, -1.0)
-        mc = _pack_classes(model_valid, model_ga, 2.0)
-        r = _icp_batched(scene_xy[..., 0], scene_xy[..., 1], sc,
-                         model_xy[..., 0], model_xy[..., 1], mc, init_pose,
-                         cfg)
+        s3 = _pack3(scene_xy, scene_valid, scene_ga, -1.0)
+        m3 = _pack3(model_xy, model_valid, model_ga, 2.0)
+        r = _icp_batched(s3, m3, init_pose, cfg)
         return r, jax.tree.map(lambda _: True, r)
 
     return icp_fit_fused
