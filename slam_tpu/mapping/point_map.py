@@ -124,14 +124,20 @@ def export_points(grid: PointMapGrid, capacity: int, min_count: float = 1.0,
     # low-count cells is harmless
     v, idx = jax.lax.approx_max_k(score, capacity, recall_target=0.95)
     sel = v >= min_count
-    cnt = jnp.maximum(grid.count.reshape(-1)[idx], 1.0)
     ci = idx // G
     cj = idx % G
+    # channel gathers as one-hot matmuls (native gathers: ~10 ms/channel/step
+    # at batch 1024); values are counts + cell-relative offsets => bf16-safe
+    from slam_tpu.ops.scatter2d import gather_cells_2d
+    chans = jnp.stack([grid.count, grid.sum_x, grid.sum_y, grid.sum_z,
+                       ga.astype(jnp.float32)], axis=-1)
+    out = gather_cells_2d(chans, ci, cj)
+    cnt = jnp.maximum(out[:, 0], 1.0)
     ctr_x = (ci - G // 2 + 0.5) * resolution + grid.center[0]
     ctr_y = (cj - G // 2 + 0.5) * resolution + grid.center[1]
-    xyz = jnp.stack([ctr_x + grid.sum_x.reshape(-1)[idx] / cnt,
-                     ctr_y + grid.sum_y.reshape(-1)[idx] / cnt,
-                     grid.sum_z.reshape(-1)[idx] / cnt], axis=-1)
-    flags = jnp.where(ga.reshape(-1)[idx], PointCloud.FLAG_GA, 0)
+    xyz = jnp.stack([ctr_x + out[:, 1] / cnt,
+                     ctr_y + out[:, 2] / cnt,
+                     out[:, 3] / cnt], axis=-1)
+    flags = jnp.where(out[:, 4] > 0.5, PointCloud.FLAG_GA, 0)
     return PointCloud(xyz=jnp.where(sel[:, None], xyz, 0.0), valid=sel,
                       flags=jnp.where(sel, flags, 0).astype(jnp.int32))

@@ -50,6 +50,20 @@ def scatter_add_2d(cx: jnp.ndarray, cy: jnp.ndarray, values: jnp.ndarray,
     return out
 
 
+def gather_cells_2d(grids: jnp.ndarray, ci: jnp.ndarray, cj: jnp.ndarray,
+                    precision=jax.lax.Precision.DEFAULT) -> jnp.ndarray:
+    """Gather per-cell channel vectors grids[ci[n], cj[n], :] -> (N, C) via
+    one-hot matmuls — TPU native gathers cost ~20 ns/element (a 512-point
+    export gathered 4 channels for ~42 ms/step at batch 1024); as matmuls
+    the MXU does it in a few ms. grids: (H, W, C)."""
+    H, W, C = grids.shape
+    N = ci.shape[0]
+    X = _onehot(jnp.clip(ci, 0, H - 1), H, jnp.ones(N, bool))   # (N, H)
+    Y = _onehot(jnp.clip(cj, 0, W - 1), W, jnp.ones(N, bool))   # (N, W)
+    A = jnp.einsum("nh,hwc->nwc", X, grids, precision=precision)
+    return jnp.einsum("nwc,nw->nc", A, Y, precision=precision)
+
+
 def scatter_max_2d(cx, cy, values, valid, shape):
     """(H, W) max of per-point scalars (for 'touched' style flags use
     values=1.0 and compare > 0)."""
