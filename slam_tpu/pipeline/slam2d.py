@@ -70,18 +70,66 @@ def init_state(key: jnp.ndarray, cfg: SlamConfig,
 
 def build_scene(scan_xyz: jnp.ndarray, hit: jnp.ndarray,
                 cfg: SlamConfig) -> PointCloud:
-    """CCICP::setSceneCloud for the 2D path (icpTools.cpp:611-634): one local
-    grid rasterization yields both the voxel downsample (cell centroids at
-    the GA grid's 0.5 m resolution, icpTools.h:25) and the ground-adjacency
-    flags (classifyPoints stencil on the same occupancy) — replacing the
-    sort-based voxel filter + separate classify grid (the argsort alone cost
-    ~50 ms/step at batch 1024)."""
-    from slam_tpu.mapping.point_map import (export_points, init_point_map,
-                                            update_point_map)
-    g = init_point_map(cfg.icp.ga_num_bins)
-    g = update_point_map(g, scan_xyz, hit, cfg.icp.ga_resolution)
-    return export_points(g, cfg.cloud.scene_capacity,
-                         ga_threshold=cfg.icp.ga_threshold)
+    """CCICP::setSceneCloud for the 2D path (icpTools.cpp:611-634): voxel
+    downsample at the GA grid's 0.5 m resolution + ground-adjacency flags
+    (classifyPoints stencil).
+
+    A scan has <= scan_capacity points, so voxelization is a same-cell
+    pairwise (N, N) matmul — exact per-cell centroids with first-point-keeps
+    dedupe, no sort/top-k (grid export cost ~12 ms/step at batch 1024).
+    GA flags come from a count raster + banded stencil + one matmul-gather."""
+    from slam_tpu.ops.scatter2d import gather_cells_2d, scatter_add_2d
+    from slam_tpu.ops.stencil import neighbor_sum_2d
+
+    res = cfg.icp.ga_resolution
+    G = cfg.icp.ga_num_bins
+    xy = scan_xyz[..., :2]
+    ci = jnp.floor(xy[:, 0] / res).astype(jnp.int32) + G // 2
+    cj = jnp.floor(xy[:, 1] / res).astype(jnp.int32) + G // 2
+    inb = hit & (ci >= 0) & (cj >= 0) & (ci < G) & (cj < G)
+    cell = jnp.where(inb, ci * G + cj, -1)
+
+    # same-cell incidence: M[n, m] = both valid and in the same cell
+    same = (cell[:, None] == cell[None, :]) & inb[:, None] & inb[None, :]
+    Mf = same.astype(jnp.float32)
+    count = jnp.sum(Mf, axis=1)
+    # first-in-cell keeps the slot (dedupe); the rest are masked out
+    n_idx = jnp.arange(cell.shape[0], dtype=jnp.int32)
+    first_m = jnp.min(jnp.where(same, n_idx[None, :], cell.shape[0]), axis=1)
+    keep = inb & (first_m == n_idx)
+
+    # exact per-cell centroid: cell center + mean of cell-relative offsets
+    cc = (jnp.stack([ci, cj], -1).astype(xy.dtype) - G // 2 + 0.5) * res
+    rel = jnp.where(inb[:, None], xy - cc, 0.0)
+    mean_rel = jnp.matmul(Mf, rel, precision=jax.lax.Precision.DEFAULT) \
+        / jnp.maximum(count, 1.0)[:, None]
+    cx = cc + mean_rel
+
+    # GA classification on the occupancy raster (classifyPoints rule)
+    counts = scatter_add_2d(ci, cj, jnp.ones(cell.shape + (1,)), inb,
+                            (G, G))[..., 0]
+    occ = counts > 0
+    box = neighbor_sum_2d((~occ).astype(jnp.float32))
+    ii = jnp.arange(G)
+    interior = ((ii > 0) & (ii < G - 1))[:, None] & \
+        ((ii > 0) & (ii < G - 1))[None, :]
+    ga_grid = (occ & interior & (box >= cfg.icp.ga_threshold))
+    ga = gather_cells_2d(ga_grid.astype(jnp.float32)[..., None],
+                         ci, cj)[:, 0] > 0.5
+
+    xyz = jnp.concatenate([cx, jnp.zeros_like(cx[:, :1])], axis=-1)
+    flags = jnp.where(ga & keep, PointCloud.FLAG_GA, 0).astype(jnp.int32)
+    # pad/crop to the configured scene capacity (static shape contract)
+    cap = cfg.cloud.scene_capacity
+    n = xyz.shape[0]
+    if n < cap:
+        xyz = jnp.pad(xyz, ((0, cap - n), (0, 0)))
+        keep = jnp.pad(keep, (0, cap - n))
+        flags = jnp.pad(flags, (0, cap - n))
+    elif n > cap:
+        xyz, keep, flags = xyz[:cap], keep[:cap], flags[:cap]
+    return PointCloud(xyz=jnp.where(keep[:, None], xyz, 0.0), valid=keep,
+                      flags=flags)
 
 
 def register_scan(scene: PointCloud, map_cloud: PointCloud,
