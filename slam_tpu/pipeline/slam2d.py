@@ -190,7 +190,7 @@ def update_map_cloud(map_cloud: PointCloud, scene: PointCloud,
 
 def slam_step(state: SlamState, world: World2D, cfg: SlamConfig,
               incremental_map: bool = True, field=None,
-              refresh_map: bool = True) -> SlamState:
+              refresh_map: bool = True, shift_maps: bool = True) -> SlamState:
     """One full SLAM tick. Pure; jit/vmap/shard_map friendly.
 
     incremental_map: fold each registered scene into the map target (the
@@ -217,7 +217,7 @@ def slam_step(state: SlamState, world: World2D, cfg: SlamConfig,
 
     state = process_frame(state, scan_xyz, hit, gyro, cmd, cfg,
                           incremental_map=incremental_map, field=field,
-                          refresh_map=refresh_map)
+                          refresh_map=refresh_map, shift_maps=shift_maps)
     return state.replace(true_pose=jnp.concatenate([true2, jnp.zeros(1)]),
                          rng=key)
 
@@ -236,7 +236,8 @@ def slam_step_io(state: SlamState, scan_xyz, hit, gyro, cmd,
 
 def process_frame(state: SlamState, scan_xyz, hit, gyro, cmd,
                   cfg: SlamConfig, incremental_map: bool = True, field=None,
-                  refresh_map: bool = True) -> SlamState:
+                  refresh_map: bool = True,
+                  shift_maps: bool = True) -> SlamState:
     """Sensor frame -> updated SLAM state (the fused node graph minus the
     simulator): EKF predict/gyro -> scene -> registration -> fuse -> maps."""
     dt = cfg.sim.dt
@@ -283,7 +284,10 @@ def process_frame(state: SlamState, scan_xyz, hit, gyro, cmd,
         map_pose = jnp.where(icp.ok, icp.pose, pred)
         world_xy = se2_apply(map_pose, scene.xyz[..., :2])
         world_xyz = jnp.concatenate([world_xy, scene.xyz[..., 2:]], axis=-1)
-        mg = shift_point_map(state.map_grid, fused[:2], res)
+        # rolling shifts are dynamic rolls (~15 ms/tick at batch 1024); the
+        # robot moves <1 cell per tick, so the rollout shifts once per macro
+        mg = shift_point_map(state.map_grid, fused[:2], res) \
+            if shift_maps else state.map_grid
         mg = update_point_map(mg, world_xyz, scene.valid, res)
         if refresh_map:
             map_cloud = export_points(mg, state.map_cloud.capacity,
@@ -297,7 +301,8 @@ def process_frame(state: SlamState, scan_xyz, hit, gyro, cmd,
         mg = state.map_grid
         map_cloud = state.map_cloud
 
-    grid = shift_origin(state.local_map, fused[:2], cfg.mls)
+    grid = shift_origin(state.local_map, fused[:2], cfg.mls) \
+        if shift_maps else state.local_map
     yaw_only = jnp.stack([fused[0] - grid.center[0],
                           fused[1] - grid.center[1], fused[2]])
     local_xy = se2_apply(yaw_only, scene.xyz[..., :2])
@@ -344,8 +349,16 @@ def rollout(state: SlamState, world: World2D, cfg: SlamConfig, num_steps: int,
                 s.map_grid, s.map_cloud.capacity,
                 ga_threshold=cfg.icp.ga_threshold))
 
+        # re-center rolling maps once per macro (robot motion per macro is
+        # ~1 cell); ticks then skip the dynamic rolls
+        from slam_tpu.mapping.point_map import shift_point_map as _spm
+        s = s.replace(
+            map_grid=_spm(s.map_grid, s.pose[:2]),
+            local_map=shift_origin(s.local_map, s.pose[:2], cfg.mls))
+
         def tick(ss, _):
-            ss = slam_step(ss, world, cfg, field=field, refresh_map=False)
+            ss = slam_step(ss, world, cfg, field=field, refresh_map=False,
+                           shift_maps=False)
             return ss, (ss.pose[:3], ss.true_pose[:3])
 
         return jax.lax.scan(tick, s, None, length=field_every)
