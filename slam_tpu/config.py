@@ -240,8 +240,10 @@ def sim2d_config() -> SlamConfig:
         c,
         icp=dataclasses.replace(c.icp, max_points=512, inlier_dist=1.0,
                                 crop_dist=55.0, ga_num_bins=192),
-        cloud=dataclasses.replace(c.cloud, scan_capacity=512, scene_capacity=512,
-                                  ground_capacity=8, map_capacity=1024),
+        # capacities sized to the data (360-beam scans; ~300-600 occupied map
+        # cells) and to lane multiples — ICP kernel cost scales with S x C
+        cloud=dataclasses.replace(c.cloud, scan_capacity=512, scene_capacity=384,
+                                  ground_capacity=8, map_capacity=768),
         mls=dataclasses.replace(c.mls, size_x=192, size_y=192, resolution=0.5,
                                 max_range=50.0, update_dist=96),
     )
