@@ -356,6 +356,47 @@ def regenerate_map_mls(graph: PoseGraph, mls_cfg, capacity: int):
     return obs, gnd, grid
 
 
+"""Mission commands — the actionlib FSM server's role (graph_slam.cpp:80-152):
+INIT acknowledges (the reference's INIT branch is empty), HOME rebuilds the
+global map seeded from keyframe 0's cloud with a lowered cluster-initialization
+threshold (setMinClusterPoints(3), graph_slam.cpp:105-111) so the returning
+robot has a dense match target around home."""
+
+FSM_INIT = 1   # graph_slam.cpp:81 FSMINIT
+FSM_HOME = 2   # FSMHOME
+FSM_FIX = 3    # FSMFIX (reference: falls through with a warning)
+
+
+def home_command(graph: PoseGraph, mls_cfg, capacity: int):
+    """HOME: global map re-seeded from keyframe 0 only (graph_slam.cpp:102-146).
+
+    Returns (obstacle_cloud, ground_cloud, home_pose)."""
+    import dataclasses
+
+    from slam_tpu.mapping.mls import (add_to_mls, get_segmented_clouds,
+                                      init_mls)
+
+    cfg3 = dataclasses.replace(mls_cfg, min_cluster_points=3.0)
+    pose0 = graph.node_pose[0]
+    xy = se2_apply(pose0[:3], graph.kf_xyz[0][:, :2])
+    z = graph.kf_xyz[0][:, 2] + pose0[3]
+    cloud = PointCloud(xyz=jnp.concatenate([xy, z[:, None]], axis=-1),
+                       valid=graph.kf_valid[0] & graph.node_valid[0],
+                       flags=graph.kf_flags[0])
+    grid = add_to_mls(init_mls(cfg3), cloud, cfg3)
+    obs, gnd = get_segmented_clouds(grid, cfg3, capacity)
+    return obs, gnd, pose0
+
+
+def mission_command(command: int, graph: PoseGraph, mls_cfg, capacity: int):
+    """Dispatch an FSM command (goalCallback, graph_slam.cpp:86-152)."""
+    if command == FSM_HOME:
+        return home_command(graph, mls_cfg, capacity)
+    if command == FSM_INIT:
+        return None  # reference INIT branch is empty (graph_slam.cpp:97-99)
+    raise ValueError(f"Unknown FSM command {command}")  # :147 warning
+
+
 def regenerate_map(graph: PoseGraph, capacity: int,
                    voxel_leaf=(0.5, 0.5, 2.0)) -> PointCloud:
     """Re-scatter all keyframe clouds under optimized poses into one map cloud

@@ -34,3 +34,28 @@ def test_regenerate_map_mls():
         np.asarray(gnd.xyz[np.asarray(gnd.valid)])])
     d = np.linalg.norm(world[:, None, :2] - pts[None], axis=-1).min(1)
     assert np.median(d) < 0.5, float(np.median(d))
+
+
+def test_home_command_rebuilds_from_keyframe0():
+    """FSM HOME (graph_slam.cpp:102-146): global map re-seeded from node 0."""
+    import pytest
+    gcfg = GraphConfig(max_nodes=8, max_edges=32, keyframe_points=64,
+                       knn_dist_thresh=2.0)
+    icfg = IcpConfig(max_points=64, inlier_dist=4.0, max_iterations=10)
+    mcfg = MlsConfig(size_x=64, size_y=64, resolution=0.5, rolling=False,
+                     min_cluster_points=5.0, max_range=50.0, update_dist=32)
+    pts = _landmarks(n=30)
+    graph = pg.init_graph(gcfg)
+    for p in [np.array([0, 0, 0, 0], np.float32),
+              np.array([4, 0, 0.3, 0], np.float32)]:
+        graph, _ = pg.add_keyframe(graph, jnp.array(p), world_cloud_at(p, pts),
+                                   icfg, gcfg)
+    obs, gnd, home = pg.mission_command(pg.FSM_HOME, graph, mcfg, 128)
+    total = int(obs.count()) + int(gnd.count())
+    # lowered min_cluster_points=3 admits clusters the base config (5) would
+    # reject, giving a denser home match target
+    assert total > 5
+    np.testing.assert_allclose(np.asarray(home), [0, 0, 0, 0], atol=1e-6)
+    assert pg.mission_command(pg.FSM_INIT, graph, mcfg, 128) is None
+    with pytest.raises(ValueError):
+        pg.mission_command(pg.FSM_FIX, graph, mcfg, 128)
