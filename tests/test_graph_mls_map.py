@@ -44,7 +44,13 @@ def test_home_command_rebuilds_from_keyframe0():
     icfg = IcpConfig(max_points=64, inlier_dist=4.0, max_iterations=10)
     mcfg = MlsConfig(size_x=64, size_y=64, resolution=0.5, rolling=False,
                      min_cluster_points=5.0, max_range=50.0, update_dist=32)
-    pts = _landmarks(n=30)
+    # dense landmarks: >=3 observations per landmark so the lowered
+    # min_cluster_points=3 initializes clusters (the reference's keyframes
+    # are 20k-point scans)
+    base = _landmarks(n=15)
+    rng = np.random.default_rng(7)
+    pts = np.concatenate([base + rng.normal(0, 0.05, base.shape)
+                          for _ in range(4)]).astype(np.float32)
     graph = pg.init_graph(gcfg)
     for p in [np.array([0, 0, 0, 0], np.float32),
               np.array([4, 0, 0.3, 0], np.float32)]:
