@@ -265,8 +265,9 @@ def sim3d_config() -> SlamConfig:
                                    r_max=60.0, max_insac_sweeps=8),
         icp=dataclasses.replace(c.icp, max_points=512, inlier_dist=1.0,
                                 crop_dist=55.0, ga_num_bins=192),
+        # scene/ground stay in the scan's slots after pairwise voxelization
         cloud=dataclasses.replace(c.cloud, scan_capacity=2048,
-                                  scene_capacity=512, ground_capacity=512,
+                                  scene_capacity=2048, ground_capacity=2048,
                                   map_capacity=2048),
         mls=dataclasses.replace(c.mls, size_x=192, size_y=192, resolution=0.5,
                                 max_range=50.0, update_dist=96),

@@ -72,6 +72,46 @@ def voxel_downsample(
     )
 
 
+def voxel_downsample_pairwise(cloud: PointCloud,
+                              leaf: Tuple[float, float, float]) -> PointCloud:
+    """Voxel centroids via a same-cell pairwise incidence matmul — exact
+    semantics of voxel_downsample but sort-free (argsort of a 2k-point cloud
+    costs ~10x the matmul on TPU). Output stays in the input's slots: the
+    first point of each voxel keeps its slot and carries the cell centroid;
+    the rest are masked invalid. Flags: bitwise OR over the voxel's points
+    (within one scan the reference's 0/1 flags agree across a voxel)."""
+    import jax
+
+    xyz = cloud.xyz
+    N = xyz.shape[0]
+    leaf_arr = jnp.asarray(leaf, xyz.dtype)
+    q = jnp.floor(xyz / leaf_arr).astype(jnp.int32)          # (N, 3)
+    same = jnp.all(q[:, None, :] == q[None, :, :], axis=-1) & \
+        cloud.valid[:, None] & cloud.valid[None, :]
+    Mf = same.astype(jnp.float32)
+    count = jnp.sum(Mf, axis=1)
+    n_idx = jnp.arange(N, dtype=jnp.int32)
+    first_m = jnp.min(jnp.where(same, n_idx[None, :], N), axis=1)
+    keep = cloud.valid & (first_m == n_idx)
+
+    # bf16-safe centroid: cell center + mean cell-relative offset
+    cc = (q.astype(xyz.dtype) + 0.5) * leaf_arr
+    rel = jnp.where(cloud.valid[:, None], xyz - cc, 0.0)
+    centroid = cc + jnp.matmul(Mf, rel,
+                               precision=jax.lax.Precision.DEFAULT) \
+        / jnp.maximum(count, 1.0)[:, None]
+
+    fbits = jnp.stack([(cloud.flags >> b) & 1 for b in range(3)],
+                      axis=-1).astype(jnp.float32)
+    fsum = jnp.matmul(Mf, fbits, precision=jax.lax.Precision.DEFAULT)
+    any_bit = fsum > 0.5
+    flags = (any_bit[:, 0] * 1 + any_bit[:, 1] * 2
+             + any_bit[:, 2] * 4).astype(jnp.int32)
+
+    return PointCloud(xyz=jnp.where(keep[:, None], centroid, 0.0),
+                      valid=keep, flags=jnp.where(keep, flags, 0))
+
+
 def crop_box(cloud: PointCloud, center_xy: jnp.ndarray, half_extent: float
              ) -> PointCloud:
     """Axis-aligned crop around a pose — the +-75 m PassThrough pair of

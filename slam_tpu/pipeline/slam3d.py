@@ -6,11 +6,17 @@ Mirrors the reference nodes: pointcloud_filter/CCICP::setSceneCloud
 (segmentation + voxel), scan_registration (ICP + doHeightInterpolate), ekf,
 local_mapper (MLS occupancy path) — fused into one jitted step over SlamState
 (SURVEY.md §3.1-3.4 call stacks).
+
+Performance structure matches the 2D path: voxelization as same-cell pairwise
+matmuls (no sorts), obstacle/ground maps as point-map centroid grids (one
+matmul scatter per scan), exported targets refreshed once per macro (the
+reference's 10 Hz target cadence), rolling shifts at macro boundaries.
 """
 
 from __future__ import annotations
 
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -18,16 +24,26 @@ import jax.numpy as jnp
 from slam_tpu.config import SlamConfig
 from slam_tpu.geometry import se2_apply
 from slam_tpu.mapping.occupancy import add_to_occupancy, shift_origin
+from slam_tpu.mapping.point_map import (PointMapGrid, export_points,
+                                        init_point_map, shift_point_map,
+                                        update_point_map)
 from slam_tpu.models import ekf as ekf_mod
 from slam_tpu.ops.classify import classify_ground_adjacent
 from slam_tpu.ops.ground import segment_ground, split_ground_obstacle
 from slam_tpu.ops.height import height_interpolate
 from slam_tpu.ops.icp import icp_fit
-from slam_tpu.ops.voxel import crop_box, voxel_downsample
+from slam_tpu.ops.voxel import crop_box, voxel_downsample_pairwise
 from slam_tpu.pipeline.slam2d import init_state  # shared state init
 from slam_tpu.sim import world2d, world3d
 from slam_tpu.sim.world3d import World3D
-from slam_tpu.types import PointCloud, SlamState
+from slam_tpu.types import PointCloud, SlamState, make_cloud
+
+
+class GroundMap(NamedTuple):
+    """World-frame ground store: centroid grid + its exported cloud (refreshed
+    at macro boundaries, like the obstacle map target)."""
+    grid: PointMapGrid
+    cloud: PointCloud
 
 
 def init_state_3d(key, cfg: SlamConfig, world: World3D,
@@ -36,14 +52,23 @@ def init_state_3d(key, cfg: SlamConfig, world: World3D,
     reference's global frame is defined by the start pose; z drift is what's
     estimated, not the absolute start)."""
     s = init_state(key, cfg, with_graph=with_graph)
+    if s.map_grid is None:
+        s = s.replace(map_grid=init_point_map(cfg.mls.size_x))
     z0 = world3d.terrain_height(world, jnp.zeros(2)) + cfg.sim.sensor_height
     return s.replace(pose=s.pose.at[3].set(z0),
                      true_pose=s.true_pose.at[3].set(z0))
 
 
+def init_ground_map(cfg: SlamConfig) -> GroundMap:
+    return GroundMap(grid=init_point_map(cfg.mls.size_x),
+                     cloud=make_cloud(cfg.cloud.map_capacity))
+
+
 def build_scene_3d(scan_xyz, hit, cfg: SlamConfig):
     """setSceneCloud (icpTools.cpp:611-634): GP-INSAC segment, classify ground
-    adjacency on obstacles, voxel downsample obs and ground separately."""
+    adjacency on obstacles, voxel downsample obs and ground separately —
+    voxelization via pairwise same-cell matmuls (sort-free), outputs stay in
+    the scan's slots (masked)."""
     from slam_tpu.types import cloud_from_xyz
 
     cloud = cloud_from_xyz(scan_xyz, valid=hit)
@@ -54,34 +79,18 @@ def build_scene_3d(scan_xyz, hit, cfg: SlamConfig):
     obs_cloud = classify_ground_adjacent(
         obs_cloud, jnp.zeros(2), cfg.icp.ga_num_bins, cfg.icp.ga_resolution,
         cfg.icp.ga_threshold)
-    obs_ds = voxel_downsample(obs_cloud, cfg.icp.voxel_leaf_obs,
-                              cfg.cloud.scene_capacity)
+    obs_ds = voxel_downsample_pairwise(obs_cloud, cfg.icp.voxel_leaf_obs)
     gnd_cloud = seg.cloud.replace(valid=ground)
-    gnd_ds = voxel_downsample(gnd_cloud, cfg.icp.voxel_leaf_ground,
-                              cfg.cloud.ground_capacity)
+    gnd_ds = voxel_downsample_pairwise(gnd_cloud, cfg.icp.voxel_leaf_ground)
     return obs_ds, gnd_ds
 
 
-def update_world_cloud(map_cloud: PointCloud, scene: PointCloud,
-                       pose: jnp.ndarray, leaf, capacity: int) -> PointCloud:
-    """Merge a robot-frame cloud into a world-frame map cloud at pose
-    (x, y, yaw, z), voxel-merged to capacity."""
-    xy = se2_apply(pose[:3], scene.xyz[..., :2])
-    z = scene.xyz[..., 2] + pose[3]
-    xyz = jnp.concatenate([xy, z[..., None]], axis=-1)
-    merged = PointCloud(
-        xyz=jnp.concatenate([map_cloud.xyz, xyz], axis=0),
-        valid=jnp.concatenate([map_cloud.valid, scene.valid], axis=0),
-        flags=jnp.concatenate([map_cloud.flags, scene.flags], axis=0),
-    )
-    return voxel_downsample(merged, leaf, capacity)
-
-
-def slam_step_3d(state: SlamState, world: World3D, ground_map: PointCloud,
-                 cfg: SlamConfig):
+def slam_step_3d(state: SlamState, world: World3D, ground_map: GroundMap,
+                 cfg: SlamConfig, refresh_map: bool = True,
+                 shift_maps: bool = True):
     """One 3D SLAM tick. Returns (state, ground_map).
 
-    ground_map: persistent world-frame ground cloud (the reference's
+    ground_map: persistent world-frame ground store (the reference's
     graph_slam-published global ground cloud feeding height interpolation,
     scan_registration.cpp:185-186 + icpTools.cpp:292).
     """
@@ -113,9 +122,6 @@ def slam_step_3d(state: SlamState, world: World3D, ground_map: PointCloud,
     # --- segmentation + registration ---
     obs_scene, gnd_scene = build_scene_3d(scan_xyz, hit, cfg)
     target = crop_box(state.map_cloud, pred[:2], cfg.icp.crop_dist)
-    target = classify_ground_adjacent(
-        target, pred[:2], cfg.icp.ga_num_bins, cfg.icp.ga_resolution,
-        cfg.icp.ga_threshold)
     if cfg.icp.matcher == "fused" and jax.default_backend() == "tpu":
         from slam_tpu.ops.icp_pallas import make_icp_fused
         icp = make_icp_fused(cfg.icp)(
@@ -130,36 +136,49 @@ def slam_step_3d(state: SlamState, world: World3D, ground_map: PointCloud,
     ekf = ekf_mod.slam_update(ekf, icp.pose, cfg.ekf, has_meas=icp.ok)
     fused = jnp.stack([ekf.mu[0], ekf.mu[1], ekf.mu[6]])
     pose4_pre = jnp.concatenate([fused, state.pose[3:4]])
-    new_z = height_interpolate(ground_map, pose4_pre, cfg.height)
-    # bootstrap: empty ground map -> fall back to current scan's ground points
-    # placed at the predicted pose
-    boot_pose = jnp.concatenate([jnp.where(icp.ok, icp.pose, pred),
-                                 state.pose[3:4]])
-    gnd_world_xy = se2_apply(boot_pose[:3], gnd_scene.xyz[..., :2])
+    map_pose = jnp.concatenate([jnp.where(icp.ok, icp.pose, pred),
+                                state.pose[3:4]])
+    new_z = height_interpolate(ground_map.cloud, pose4_pre, cfg.height)
+    # bootstrap: empty ground map -> current scan's ground points at the pose
+    gnd_world_xy = se2_apply(map_pose[:3], gnd_scene.xyz[..., :2])
     gnd_world = gnd_scene.replace(xyz=jnp.concatenate(
-        [gnd_world_xy, gnd_scene.xyz[..., 2:] + boot_pose[3]], axis=-1))
-    have_map = ground_map.count() >= cfg.height.min_corr_points
+        [gnd_world_xy, gnd_scene.xyz[..., 2:] + map_pose[3]], axis=-1))
+    have_map = ground_map.cloud.count() >= cfg.height.min_corr_points
     z_scan = height_interpolate(gnd_world, pose4_pre, cfg.height)
     pose4 = pose4_pre.at[3].set(jnp.where(have_map, new_z, z_scan))
+    map_pose = map_pose.at[3].set(pose4[3])
 
-    # --- map + occupancy ---
-    map_pose = jnp.concatenate([jnp.where(icp.ok, icp.pose, pred),
-                                pose4[3:4]])
-    map_cloud = update_world_cloud(state.map_cloud, obs_scene, map_pose,
-                                   cfg.icp.voxel_leaf_obs,
-                                   cfg.cloud.map_capacity)
-    ground_map = update_world_cloud(ground_map, gnd_scene, map_pose,
-                                    cfg.icp.voxel_leaf_ground,
-                                    cfg.cloud.map_capacity)
+    # --- maps: centroid grids, one matmul scatter each ---
+    obs_world_xy = se2_apply(map_pose[:3], obs_scene.xyz[..., :2])
+    obs_world = jnp.concatenate(
+        [obs_world_xy, obs_scene.xyz[..., 2:] + map_pose[3]], axis=-1)
+    res = cfg.icp.voxel_leaf_obs[0]
+    mg = shift_point_map(state.map_grid, fused[:2], res) \
+        if shift_maps else state.map_grid
+    mg = update_point_map(mg, obs_world, obs_scene.valid, res,
+                          z_precision=jax.lax.Precision.HIGH)
+    gg = shift_point_map(ground_map.grid, fused[:2], res) \
+        if shift_maps else ground_map.grid
+    gg = update_point_map(gg, gnd_world.xyz, gnd_scene.valid, res,
+                          z_precision=jax.lax.Precision.HIGH)
+    if refresh_map:
+        map_cloud = export_points(mg, state.map_cloud.capacity,
+                                  ga_threshold=cfg.icp.ga_threshold)
+        gnd_cloud = export_points(gg, ground_map.cloud.capacity)
+    else:
+        map_cloud = state.map_cloud
+        gnd_cloud = ground_map.cloud
 
-    grid = shift_origin(state.local_map, fused[:2], cfg.mls)
+    # --- occupancy (MLS occupancy path, robot-centered world-oriented) ---
+    grid = shift_origin(state.local_map, fused[:2], cfg.mls) \
+        if shift_maps else state.local_map
     rel = jnp.stack([fused[0] - grid.center[0], fused[1] - grid.center[1],
                      fused[2]])
-    _, _, non_drv = split_ground_obstacle(obs_scene)
     obs_local = obs_scene.replace(
         xyz=jnp.concatenate([se2_apply(rel, obs_scene.xyz[..., :2]),
                              obs_scene.xyz[..., 2:]], axis=-1),
-        valid=obs_scene.valid & ~((obs_scene.flags & PointCloud.FLAG_DRIVABLE) != 0))
+        valid=obs_scene.valid
+        & ~((obs_scene.flags & PointCloud.FLAG_DRIVABLE) != 0))
     gnd_local = gnd_scene.replace(
         xyz=jnp.concatenate([se2_apply(rel, gnd_scene.xyz[..., :2]),
                              gnd_scene.xyz[..., 2:]], axis=-1))
@@ -171,18 +190,71 @@ def slam_step_3d(state: SlamState, world: World3D, ground_map: PointCloud,
         scan_reg_pose=map_pose,
         scan_reg_ok=icp.ok,
         local_map=grid,
-        prev_scene=obs_scene,
+        prev_scene=_fit_capacity(obs_scene, state.prev_scene.capacity),
         map_cloud=map_cloud,
+        map_grid=mg,
         step=state.step + 1,
         true_pose=jnp.concatenate([true2, true_z[None]]),
         rng=key,
     )
-    return new_state, ground_map
+    return new_state, GroundMap(grid=gg, cloud=gnd_cloud)
+
+
+def _fit_capacity(cloud: PointCloud, cap: int) -> PointCloud:
+    n = cloud.capacity
+    if n == cap:
+        return cloud
+    if n > cap:
+        return PointCloud(xyz=cloud.xyz[:cap], valid=cloud.valid[:cap],
+                          flags=cloud.flags[:cap])
+    pad = cap - n
+    return PointCloud(xyz=jnp.pad(cloud.xyz, ((0, pad), (0, 0))),
+                      valid=jnp.pad(cloud.valid, (0, pad)),
+                      flags=jnp.pad(cloud.flags, (0, pad)))
+
+
+@partial(jax.jit, static_argnames=("cfg", "num_steps", "field_every"))
+def rollout_3d(state: SlamState, world: World3D, ground_map, cfg: SlamConfig,
+               num_steps: int, field_every: int = 4):
+    """num_steps ticks (rounded up to field_every multiples): map targets
+    refresh and rolling maps re-center once per macro."""
+    if isinstance(ground_map, PointCloud):  # legacy call shape
+        ground_map = GroundMap(grid=init_point_map(cfg.mls.size_x),
+                               cloud=ground_map)
+    num_macro = -(-num_steps // field_every)
+
+    def macro(carry, _):
+        s, gm = carry
+        s = s.replace(
+            map_grid=shift_point_map(s.map_grid, s.pose[:2]),
+            local_map=shift_origin(s.local_map, s.pose[:2], cfg.mls))
+        gm = GroundMap(grid=shift_point_map(gm.grid, s.pose[:2]),
+                       cloud=gm.cloud)
+        s = s.replace(map_cloud=export_points(
+            s.map_grid, s.map_cloud.capacity,
+            ga_threshold=cfg.icp.ga_threshold))
+        gm = GroundMap(grid=gm.grid,
+                       cloud=export_points(gm.grid, gm.cloud.capacity))
+
+        def tick(c, _):
+            ss, g = c
+            ss, g = slam_step_3d(ss, world, g, cfg, refresh_map=False,
+                                 shift_maps=False)
+            return (ss, g), (ss.pose, ss.true_pose)
+
+        (s, gm), traj = jax.lax.scan(tick, (s, gm), None, length=field_every)
+        return (s, gm), traj
+
+    (final, gm), traj = jax.lax.scan(macro, (state, ground_map), None,
+                                     length=num_macro)
+    est, true = traj
+    return final, gm, (est.reshape(-1, 4)[:num_steps],
+                       true.reshape(-1, 4)[:num_steps])
 
 
 @partial(jax.jit, static_argnames=("cfg", "num_macro", "graph_every"))
 def rollout_3d_with_graph(state: SlamState, world: World3D,
-                          ground_map: PointCloud, cfg: SlamConfig,
+                          ground_map, cfg: SlamConfig,
                           num_macro: int, graph_every: int = 8):
     """Full 3D stack with pose-graph SLAM in the loop: `graph_every` fused
     scan ticks per graph tick (the reference's 10 Hz graph_slam loop under
@@ -191,12 +263,20 @@ def rollout_3d_with_graph(state: SlamState, world: World3D,
     the reference uses (its graph edges are planar-ICP derived too)."""
     from slam_tpu.pipeline.slam2d import graph_update
 
+    if isinstance(ground_map, PointCloud):
+        ground_map = GroundMap(grid=init_point_map(cfg.mls.size_x),
+                               cloud=ground_map)
+    if state.map_grid is None:
+        state = state.replace(map_grid=init_point_map(cfg.mls.size_x))
+
     def macro(carry, _):
         s, gm = carry
+        gm = GroundMap(grid=gm.grid,
+                       cloud=export_points(gm.grid, gm.cloud.capacity))
 
         def tick(c, _):
             ss, g = c
-            ss, g = slam_step_3d(ss, world, g, cfg)
+            ss, g = slam_step_3d(ss, world, g, cfg, refresh_map=False)
             return (ss, g), (ss.pose, ss.true_pose)
 
         (s, gm), traj = jax.lax.scan(tick, (s, gm), None, length=graph_every)
@@ -207,16 +287,3 @@ def rollout_3d_with_graph(state: SlamState, world: World3D,
                                      length=num_macro)
     est, true = traj
     return final, gm, (est.reshape(-1, 4), true.reshape(-1, 4))
-
-
-@partial(jax.jit, static_argnames=("cfg", "num_steps"))
-def rollout_3d(state: SlamState, world: World3D, ground_map: PointCloud,
-               cfg: SlamConfig, num_steps: int):
-    def body(carry, _):
-        s, gm = carry
-        s, gm = slam_step_3d(s, world, gm, cfg)
-        return (s, gm), (s.pose, s.true_pose)
-
-    (final, gm), traj = jax.lax.scan(body, (state, ground_map), None,
-                                     length=num_steps)
-    return final, gm, traj

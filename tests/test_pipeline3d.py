@@ -27,7 +27,7 @@ def test_rollout3d_tracks():
     cfg = sim3d_config()
     world = world3d.make_world(jax.random.PRNGKey(42), cfg.sim)
     state = slam3d.init_state_3d(jax.random.PRNGKey(0), cfg, world)
-    gmap = make_cloud(cfg.cloud.map_capacity)
+    gmap = slam3d.init_ground_map(cfg)
     final, gmap, (est, true) = slam3d.rollout_3d(state, world, gmap, cfg, 40)
     est, true = np.asarray(est), np.asarray(true)
     err = slam2d.ate(jnp.array(est[10:, :3]), jnp.array(true[10:, :3]))
@@ -37,7 +37,7 @@ def test_rollout3d_tracks():
     assert z_err < 0.4, f"z error {z_err}"
     # occupancy map should contain obstacles
     assert int((final.local_map.drivable == 0).sum()) > 5
-    assert int(gmap.count()) > 100
+    assert int((gmap.grid.count > 0).sum()) > 100
 
 
 def test_step3d_vmappable():
@@ -45,8 +45,8 @@ def test_step3d_vmappable():
     world = world3d.make_world(jax.random.PRNGKey(42), cfg.sim)
     B = 2
     keys = jax.random.split(jax.random.PRNGKey(3), B)
-    states = jax.vmap(lambda k: slam2d.init_state(k, cfg))(keys)
-    gmaps = jax.vmap(lambda _: make_cloud(cfg.cloud.map_capacity))(keys)
+    states = jax.vmap(lambda k: slam3d.init_state_3d(k, cfg, world))(keys)
+    gmaps = jax.vmap(lambda _: slam3d.init_ground_map(cfg))(keys)
     step = jax.jit(jax.vmap(lambda s, g: slam3d.slam_step_3d(s, world, g, cfg)))
     out, gm = step(states, gmaps)
     assert out.pose.shape == (B, 4)
