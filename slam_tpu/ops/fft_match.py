@@ -58,11 +58,21 @@ def dilate(img: jnp.ndarray, radius: int) -> jnp.ndarray:
 
 
 def fft_correlate(map_img: jnp.ndarray, scene_imgs: jnp.ndarray) -> jnp.ndarray:
-    """Circular cross-correlation scores (K, G, G) of each rotated scene
-    raster against the map raster, via rFFT on the MXU-friendly batched path."""
-    F_map = jnp.fft.rfft2(map_img)
-    F_scn = jnp.fft.rfft2(scene_imgs)
-    return jnp.fft.irfft2(F_map[None] * jnp.conj(F_scn), s=map_img.shape)
+    """Linear cross-correlation scores (K, 2G, 2G) of each rotated scene
+    raster against the map raster, via zero-padded rFFT.
+
+    Zero-padding to 2G makes the correlation linear, not circular: scene mass
+    near the raster edge cannot wrap around and spuriously match map mass on
+    the opposite side (the aliasing regime a kidnapped robot far from its
+    prior lives in). Lag (i, j) of the output decodes to the signed shift
+    (i if i < G else i - 2G, j if j < G else j - 2G); lags with |shift| >= G
+    have zero support overlap and score exactly 0.
+    """
+    G = map_img.shape[-1]
+    pad = (2 * G, 2 * G)
+    F_map = jnp.fft.rfft2(map_img, s=pad)
+    F_scn = jnp.fft.rfft2(scene_imgs, s=pad)
+    return jnp.fft.irfft2(F_map[None] * jnp.conj(F_scn), s=pad)
 
 
 def global_match(scene: PointCloud, map_cloud: PointCloud,
@@ -85,18 +95,19 @@ def global_match(scene: PointCloud, map_cloud: PointCloud,
         return rasterize(xy, scene.valid, jnp.zeros(2), cfg)
 
     scn_imgs = jax.vmap(scene_raster)(angles)                    # (K, G, G)
-    corr = fft_correlate(map_img, scn_imgs)                      # (K, G, G)
+    corr = fft_correlate(map_img, scn_imgs)                      # (K, 2G, 2G)
 
     flat_idx = jnp.argmax(corr.reshape(K, -1), axis=-1)
     best_per_rot = jnp.take_along_axis(corr.reshape(K, -1),
                                        flat_idx[:, None], -1)[:, 0]
     k = jnp.argmax(best_per_rot)
     G = cfg.grid_size
+    P = 2 * G
     ij = flat_idx[k]
-    si, sj = ij // G, ij % G
-    # circular shift -> signed translation in cells
-    dx = jnp.where(si > G // 2, si - G, si).astype(jnp.float32)
-    dy = jnp.where(sj > G // 2, sj - G, sj).astype(jnp.float32)
+    si, sj = ij // P, ij % P
+    # linear (zero-padded) lag -> signed translation in cells
+    dx = jnp.where(si >= G, si - P, si).astype(jnp.float32)
+    dy = jnp.where(sj >= G, sj - P, sj).astype(jnp.float32)
     trans = jnp.stack([dx, dy]) * cfg.grid_resolution + prior_xy
     coarse = jnp.concatenate([trans, angles[k][None]])
 

