@@ -1,14 +1,21 @@
 """Benchmark harness: full SLAM steps/sec on real TPU hardware.
 
-Measures the fused per-scan pipeline (scene build + class-constrained ICP +
-EKF fuse + occupancy grid update — BASELINE config 1) vmapped across a robot
-fleet on one chip, and reports aggregate robot-steps/sec.
+Measures the fused per-scan pipelines vmapped across a robot fleet on one
+chip and reports aggregate robot-steps/sec:
+
+  - 2D (BASELINE config 1): scene build + class-constrained ICP + EKF fuse +
+    occupancy grid update, 360-beam scans, batch 1024.
+  - 3D (BASELINE config 2): Velodyne raycast + GP-INSAC ground segmentation +
+    class-constrained ICP + height interpolation + obstacle/ground point maps
+    + occupancy, batch 128.
 
 Baseline target (BASELINE.json): >=10,000 full SLAM steps/sec across 1024
 batched robots on v5e-8. vs_baseline is measured single-chip throughput
 against that full 8-chip target (1.0 == hitting the 8-chip number on 1 chip).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"} —
+the headline stays the 2D number; the 3D number rides in "extra" so the
+driver artifact captures both (VERDICT r1 item 3).
 """
 
 import argparse
@@ -20,49 +27,95 @@ import jax
 import jax.numpy as jnp
 
 
-def main():
-    p = argparse.ArgumentParser()
-    p.add_argument("--batch", type=int, default=1024)
-    p.add_argument("--steps", type=int, default=20, help="steps per timed block")
-    p.add_argument("--repeats", type=int, default=3)
-    args = p.parse_args()
+def _timed_rate(run_block, states, batch, steps, repeats):
+    states = run_block(states)
+    jax.block_until_ready(jax.tree.leaves(states)[0])
+    best = 0.0
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        states = run_block(states)
+        jax.block_until_ready(jax.tree.leaves(states)[0])
+        dt = time.perf_counter() - t0
+        best = max(best, batch * steps / dt)
+    return best
 
+
+def bench_2d(batch, steps, repeats):
     from slam_tpu.config import sim2d_config
     from slam_tpu.pipeline import slam2d
     from slam_tpu.sim import world2d
 
     cfg = sim2d_config()
-    B = args.batch
-
     world = world2d.make_world(jax.random.PRNGKey(42), cfg.sim)
-    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    keys = jax.random.split(jax.random.PRNGKey(0), batch)
     states = jax.vmap(lambda k: slam2d.init_state(k, cfg))(keys)
 
     @functools.partial(jax.jit, donate_argnums=0)
     def run_block(s):
         out, _ = jax.vmap(
-            lambda x: slam2d.rollout(x, world, cfg, args.steps))(s)
+            lambda x: slam2d.rollout(x, world, cfg, steps))(s)
         return out
 
-    # warmup / compile
-    states = run_block(states)
-    jax.block_until_ready(states.pose)
+    return _timed_rate(run_block, states, batch, steps, repeats)
 
-    best = 0.0
-    for _ in range(args.repeats):
-        t0 = time.perf_counter()
-        states = run_block(states)
-        jax.block_until_ready(states.pose)
-        dt = time.perf_counter() - t0
-        rate = B * args.steps / dt
-        best = max(best, rate)
 
-    print(json.dumps({
-        "metric": "slam_robot_steps_per_sec_b%d_1chip" % B,
-        "value": round(best, 1),
+def bench_3d(batch, steps, repeats):
+    from slam_tpu.config import sim3d_config
+    from slam_tpu.pipeline import slam3d
+    from slam_tpu.sim import world3d
+
+    cfg = sim3d_config()
+    world = world3d.make_world(jax.random.PRNGKey(42), cfg.sim)
+    keys = jax.random.split(jax.random.PRNGKey(0), batch)
+    states = jax.vmap(lambda k: slam3d.init_state_3d(k, cfg, world))(keys)
+    gms = jax.vmap(lambda _: slam3d.init_ground_map(cfg))(jnp.arange(batch))
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def run_block(sg):
+        def one(ss, gg):
+            out, gm2, _ = slam3d.rollout_3d(ss, world, gg, cfg, steps)
+            return out, gm2
+        return jax.vmap(one)(*sg)
+
+    return _timed_rate(run_block, (states, gms), batch, steps, repeats)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--pipeline", choices=("2d", "3d", "both"), default="both")
+    p.add_argument("--batch", type=int, default=1024, help="2D fleet size")
+    p.add_argument("--batch3d", type=int, default=128, help="3D fleet size")
+    p.add_argument("--steps", type=int, default=20, help="steps per timed block")
+    p.add_argument("--repeats", type=int, default=3)
+    args = p.parse_args()
+
+    rate2d = rate3d = None
+    if args.pipeline in ("2d", "both"):
+        rate2d = bench_2d(args.batch, args.steps, args.repeats)
+    if args.pipeline in ("3d", "both"):
+        rate3d = bench_3d(args.batch3d, args.steps, args.repeats)
+
+    if args.pipeline == "3d":
+        print(json.dumps({
+            "metric": "slam3d_robot_steps_per_sec_b%d_1chip" % args.batch3d,
+            "value": round(rate3d, 1),
+            "unit": "robot-steps/s",
+            "vs_baseline": round(rate3d / 10000.0, 4),
+        }))
+        return
+
+    out = {
+        "metric": "slam_robot_steps_per_sec_b%d_1chip" % args.batch,
+        "value": round(rate2d, 1),
         "unit": "robot-steps/s",
-        "vs_baseline": round(best / 10000.0, 4),
-    }))
+        "vs_baseline": round(rate2d / 10000.0, 4),
+    }
+    if rate3d is not None:
+        out["extra"] = {
+            "slam3d_robot_steps_per_sec_b%d_1chip" % args.batch3d:
+                round(rate3d, 1),
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -265,10 +265,13 @@ def sim3d_config() -> SlamConfig:
                                    r_max=60.0, max_insac_sweeps=8),
         icp=dataclasses.replace(c.icp, max_points=512, inlier_dist=1.0,
                                 crop_dist=55.0, ga_num_bins=192),
-        # scene/ground stay in the scan's slots after pairwise voxelization
+        # capacities sized to the data (like sim2d): a 2048-ray scan is
+        # mostly ground — observed maxima are ~120 raw obstacle points,
+        # ~1300 raw ground points, ~130 occupied obstacle-map cells; each
+        # class is compacted into its container after segmentation
         cloud=dataclasses.replace(c.cloud, scan_capacity=2048,
-                                  scene_capacity=2048, ground_capacity=2048,
-                                  map_capacity=2048),
+                                  scene_capacity=256, ground_capacity=1536,
+                                  map_capacity=512),
         mls=dataclasses.replace(c.mls, size_x=192, size_y=192, resolution=0.5,
                                 max_range=50.0, update_dist=96),
     )

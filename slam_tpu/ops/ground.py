@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from slam_tpu.config import GroundSegConfig
+from slam_tpu.ops.linalg import cholesky_unrolled, forward_substitute
 from slam_tpu.types import PointCloud
 
 
@@ -110,18 +111,21 @@ def segment_ground(cloud: PointCloud, cfg: GroundSegConfig) -> GroundSegResult:
     def sweep(carry, _):
         m, active, f_prev, v_prev = carry  # m: (S, C) model mask
         mf = m.astype(Kall.dtype)
-        # M = K restricted to the model + noise; identity elsewhere
+        # M = K restricted to the model + noise; identity elsewhere. Block
+        # diagonal SPD, so the batched unrolled Cholesky applies (the LU
+        # custom-call this replaces was 56% of the whole 3D step).
         M = Kall * mf[:, :, None] * mf[:, None, :] + \
             cfg.gp_noise * mf[:, None, :] * eyeC + \
             (1.0 - mf)[:, None, :] * eyeC
         B = Kall * mf[:, None, :]                                 # cols masked
+        L = cholesky_unrolled(M)
         rhs = jnp.concatenate([(sl_h * mf)[:, :, None],
                                jnp.swapaxes(B, 1, 2)], axis=2)    # (S, C, 1+C)
-        sol = jnp.linalg.solve(M, rhs)
-        alpha = sol[:, :, 0]
-        X = sol[:, :, 1:]                                         # (S, C, C)
-        f_s = jnp.einsum("scj,sj->sc", B, alpha)
-        v = cfg.gp_signal_var - jnp.einsum("scj,sjc->sc", B, X)
+        Y = forward_substitute(L, rhs)
+        w, Yb = Y[..., 0], Y[..., 1:]                             # L^-1 h, L^-1 B^T
+        # f_s = B M^-1 h = Yb^T w;  v = sf - diag(B M^-1 B^T) = sf - sum Yb^2
+        f_s = jnp.einsum("sjc,sj->sc", Yb, w)
+        v = cfg.gp_signal_var - jnp.sum(Yb * Yb, axis=1)
 
         cand = sl_valid & ~m
         met = (sl_h - f_s) / jnp.sqrt(cfg.gp_noise + v * v)
@@ -150,13 +154,22 @@ def segment_ground(cloud: PointCloud, cfg: GroundSegConfig) -> GroundSegResult:
     # than C valid signals in a sector) drop their points like invalid bins
     bin_in = jnp.zeros((S, L), bool).at[rows, sl_bin].max(sl_valid)
 
-    p_sector = sector
+    # per-point lookups of the five bin tables as ONE one-hot matmul (native
+    # TPU gathers cost ~10 ms/table/step at batch 128; the MXU does all five
+    # in one pass, exactly, at HIGHEST precision)
     p_bin = jnp.clip(lbin, 0, L - 1)
-    p_sig_valid = ok & bin_in[p_sector, p_bin]
-    p_model = bin_model[p_sector, p_bin]
-    p_proto_h = proto_h[p_sector, p_bin]
-    p_f = bin_f[p_sector, p_bin]
-    p_suff = sufficient[p_sector]
+    table = jnp.stack([
+        bin_in.astype(xyz.dtype), bin_model.astype(xyz.dtype), proto_h, bin_f,
+        jnp.broadcast_to(sufficient[:, None], (S, L)).astype(xyz.dtype),
+    ], axis=-1).reshape(S * L, 5)
+    fb = sector * L + p_bin
+    onehot = (fb[:, None] == jnp.arange(S * L)[None, :]).astype(xyz.dtype)
+    g = jnp.matmul(onehot, table, precision=jax.lax.Precision.HIGHEST)
+    p_sig_valid = ok & (g[:, 0] > 0.5)
+    p_model = g[:, 1] > 0.5
+    p_proto_h = g[:, 2]
+    p_f = g[:, 3]
+    p_suff = g[:, 4] > 0.5
 
     # model bins: ground if |proto_h - z| < P_TG (:393-414)
     h_model = jnp.abs(p_proto_h - z)

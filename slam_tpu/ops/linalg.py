@@ -1,0 +1,71 @@
+"""Batched small-matrix linear algebra, unrolled for the TPU VPU.
+
+XLA lowers jnp.linalg.solve / cholesky on TPU through expander passes that
+emit While loops with dynamic slices — fine for one big matrix, very slow for
+thousands of tiny ones (the GP-INSAC sweep solves B*S systems of C=32 per
+sweep; the LU custom-call was 56% of the whole 3D step). For C <= ~64 an
+unrolled Cholesky + substitution is pure batched vector arithmetic: every
+scalar op of the textbook algorithm becomes one (batch,)-wide VPU op, no
+control flow, fully fusible.
+
+Numerics match jnp.linalg.solve to ~1e-6 on the GP systems (see
+tests/test_linalg.py).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def cholesky_unrolled(M: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """Lower-triangular Cholesky factor of batched SPD matrices (..., C, C).
+
+    Unrolled over the C columns; intended for small static C (<= 64).
+    Diagonal is clamped at sqrt(eps) so a semi-definite input degrades
+    gracefully instead of producing NaNs.
+    """
+    C = M.shape[-1]
+    L = jnp.zeros_like(M)
+    idx = jnp.arange(C)
+    for j in range(C):
+        # s_i = M[i, j] - sum_{k<j} L[i, k] * L[j, k]; columns >= j of L are
+        # still zero, so the full-K einsum only picks up k < j.
+        s = M[..., :, j] - jnp.einsum("...ik,...k->...i", L, L[..., j, :])
+        d = jnp.sqrt(jnp.maximum(s[..., j], eps))
+        col = s / d[..., None]
+        L = L.at[..., :, j].set(jnp.where(idx >= j, col, 0.0))
+    return L
+
+
+def forward_substitute(L: jnp.ndarray, R: jnp.ndarray) -> jnp.ndarray:
+    """Solve L Y = R for batched lower-triangular L (..., C, C), R (..., C, Q).
+
+    Unrolled forward substitution; rows >= i of Y are zero when row i is
+    computed, so the full-K einsum only picks up k < i.
+    """
+    C = L.shape[-1]
+    Y = jnp.zeros_like(R)
+    for i in range(C):
+        yi = (R[..., i, :] - jnp.einsum("...k,...kq->...q", L[..., i, :], Y)
+              ) / L[..., i, i][..., None]
+        Y = Y.at[..., i, :].set(yi)
+    return Y
+
+
+def back_substitute(L: jnp.ndarray, R: jnp.ndarray) -> jnp.ndarray:
+    """Solve L^T Y = R (L lower-triangular), completing an SPD solve after
+    forward_substitute."""
+    C = L.shape[-1]
+    Y = jnp.zeros_like(R)
+    for i in reversed(range(C)):
+        # L^T[i, k] = L[k, i]; rows > i already filled, rows < i still zero
+        yi = (R[..., i, :] - jnp.einsum("...k,...kq->...q", L[..., :, i], Y)
+              ) / L[..., i, i][..., None]
+        Y = Y.at[..., i, :].set(yi)
+    return Y
+
+
+def spd_solve(M: jnp.ndarray, R: jnp.ndarray) -> jnp.ndarray:
+    """Solve M Y = R for batched SPD M via unrolled Cholesky."""
+    L = cholesky_unrolled(M)
+    return back_substitute(L, forward_substitute(L, R))

@@ -65,23 +65,32 @@ def init_ground_map(cfg: SlamConfig) -> GroundMap:
 
 
 def build_scene_3d(scan_xyz, hit, cfg: SlamConfig):
-    """setSceneCloud (icpTools.cpp:611-634): GP-INSAC segment, classify ground
-    adjacency on obstacles, voxel downsample obs and ground separately —
-    voxelization via pairwise same-cell matmuls (sort-free), outputs stay in
-    the scan's slots (masked)."""
+    """setSceneCloud (icpTools.cpp:611-634): GP-INSAC segment, compact each
+    class into its right-sized container (one-hot matmul; a Velodyne scan is
+    mostly ground, so the obstacle scene is tiny), classify ground adjacency
+    and voxel-downsample the obstacle scene (pairwise same-cell matmuls at
+    the compacted size).
+
+    The ground class is deliberately NOT voxel-downsampled: its three
+    consumers re-bin anyway (the ground point-map grid is a per-cell centroid
+    store; the occupancy path decrements per raw point exactly like the
+    reference's addToOccupancy, mls.cpp:73-142, which runs on the unfiltered
+    cloud; height bootstrap is a masked NN where denser is better)."""
+    from slam_tpu.ops.voxel import compact_matmul
     from slam_tpu.types import cloud_from_xyz
 
     cloud = cloud_from_xyz(scan_xyz, valid=hit)
     seg = segment_ground(cloud, cfg.ground)
     obstacle, ground, _ = split_ground_obstacle(seg.cloud)
 
-    obs_cloud = seg.cloud.replace(valid=obstacle)
+    obs_cloud = compact_matmul(seg.cloud.replace(valid=obstacle),
+                               cfg.cloud.scene_capacity)
     obs_cloud = classify_ground_adjacent(
         obs_cloud, jnp.zeros(2), cfg.icp.ga_num_bins, cfg.icp.ga_resolution,
         cfg.icp.ga_threshold)
     obs_ds = voxel_downsample_pairwise(obs_cloud, cfg.icp.voxel_leaf_obs)
-    gnd_cloud = seg.cloud.replace(valid=ground)
-    gnd_ds = voxel_downsample_pairwise(gnd_cloud, cfg.icp.voxel_leaf_ground)
+    gnd_ds = compact_matmul(seg.cloud.replace(valid=ground),
+                            cfg.cloud.ground_capacity)
     return obs_ds, gnd_ds
 
 

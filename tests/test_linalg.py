@@ -1,0 +1,71 @@
+"""Unrolled batched Cholesky/substitution vs numpy oracles — these carry the
+GP-INSAC solve (ops/ground.py), so they must match the general solver."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slam_tpu.ops.linalg import (back_substitute, cholesky_unrolled,
+                                 forward_substitute, spd_solve)
+
+
+def _random_spd(rng, batch, C):
+    A = rng.normal(size=batch + (C, C)).astype(np.float32)
+    return A @ np.swapaxes(A, -1, -2) + 0.5 * np.eye(C, dtype=np.float32)
+
+
+def test_cholesky_matches_numpy():
+    rng = np.random.default_rng(0)
+    M = _random_spd(rng, (4, 3), 16)
+    L = np.asarray(cholesky_unrolled(jnp.array(M)))
+    ref = np.linalg.cholesky(M.astype(np.float64))
+    np.testing.assert_allclose(L, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_substitution_solves():
+    rng = np.random.default_rng(1)
+    M = _random_spd(rng, (5,), 24)
+    R = rng.normal(size=(5, 24, 7)).astype(np.float32)
+    Y = np.asarray(spd_solve(jnp.array(M), jnp.array(R)))
+    ref = np.linalg.solve(M.astype(np.float64), R.astype(np.float64))
+    np.testing.assert_allclose(Y, ref, rtol=1e-3, atol=1e-3)
+
+
+def test_forward_back_are_triangular_solves():
+    rng = np.random.default_rng(2)
+    M = _random_spd(rng, (), 12)
+    L = np.linalg.cholesky(M).astype(np.float32)
+    R = rng.normal(size=(12, 4)).astype(np.float32)
+    yf = np.asarray(forward_substitute(jnp.array(L), jnp.array(R)))
+    np.testing.assert_allclose(L @ yf, R, rtol=1e-4, atol=1e-4)
+    yb = np.asarray(back_substitute(jnp.array(L), jnp.array(R)))
+    np.testing.assert_allclose(L.T @ yb, R, rtol=1e-4, atol=1e-4)
+
+
+def test_masked_gp_system_matches_general_solve():
+    """The exact system shape the INSAC sweep builds: kernel masked to the
+    model set + noise, identity elsewhere."""
+    rng = np.random.default_rng(3)
+    S, C = 6, 32
+    r = rng.uniform(0, 60, (S, C)).astype(np.float32)
+    h = rng.normal(size=(S, C)).astype(np.float32) * 0.2
+    mf = (rng.uniform(size=(S, C)) < 0.5).astype(np.float32)
+    d = r[:, :, None] - r[:, None, :]
+    K = np.exp(-(d * d) / 200.0).astype(np.float32)
+    eye = np.eye(C, dtype=np.float32)
+    M = K * mf[:, :, None] * mf[:, None, :] + 0.3 * mf[:, None, :] * eye \
+        + (1.0 - mf)[:, None, :] * eye
+    B = K * mf[:, None, :]
+    rhs = np.concatenate([(h * mf)[:, :, None], np.swapaxes(B, 1, 2)], axis=2)
+
+    L = cholesky_unrolled(jnp.array(M))
+    Y = forward_substitute(L, jnp.array(rhs))
+    w, Yb = Y[..., 0], Y[..., 1:]
+    f = np.asarray(jnp.einsum("sjc,sj->sc", Yb, w))
+    v = np.asarray(1.0 - jnp.sum(Yb * Yb, axis=1))
+
+    sol = np.linalg.solve(M.astype(np.float64), rhs.astype(np.float64))
+    f_ref = np.einsum("scj,sj->sc", B, sol[:, :, 0])
+    v_ref = 1.0 - np.einsum("scj,sjc->sc", B, sol[:, :, 1:])
+    np.testing.assert_allclose(f, f_ref, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(v, v_ref, rtol=1e-4, atol=1e-4)
