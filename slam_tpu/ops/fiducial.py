@@ -21,10 +21,13 @@ TPU reformulation (everything batched over images, no pointer structures):
      reference from the border ring; decode vs a codebook under 4 rotations
      with a Hamming acceptance gate (decode_tag equivalent)
 
-The codebook is a parameter: `make_codebook` generates families with a
-minimum Hamming separation (the published tag36h11 table can be dropped in
-as a (K, 36) bit array). The reference's own ROS node is an empty stub
-(april_tag_detector.cpp:1-37), so detector outputs are returned, not wired.
+The codebook is a parameter. The published tag36h11 (587 codes) and
+tag36h10 (2320) families the reference matches against ship in
+slam_tpu/data/tag_families.py (tables tag36h11.c/tag36h10.c) via the
+tag36h11()/tag36h10() helpers, so the detector decodes physical AprilTags;
+`make_codebook` additionally generates synthetic families for tests. The
+reference's own ROS node is an empty stub (april_tag_detector.cpp:1-37),
+so detector outputs are returned, not wired.
 """
 
 from __future__ import annotations
@@ -45,6 +48,7 @@ class FiducialConfig(NamedTuple):
     thresh_margin: float = 0.08  # adaptive threshold margin
     box: int = 15                # adaptive threshold window (odd)
     max_hamming: int = 2         # decode acceptance (AprilTag default)
+    blur_sigma: float = 0.0      # optional pre-blur (seg_sigma, apriltag.c:1000)
 
 
 class Detections(NamedTuple):
@@ -55,7 +59,21 @@ class Detections(NamedTuple):
     valid: jnp.ndarray       # (Q,) bool
 
 
-# ---------- codebook ----------
+# ---------- codebooks ----------
+
+def tag36h11() -> np.ndarray:
+    """The published tag36h11 family (587, 36) — the codes physical AprilTags
+    carry (reference table april_tag_detector/src/tag36h11.c)."""
+    from slam_tpu.data.tag_families import tag36h11_codebook
+    return tag36h11_codebook()
+
+
+def tag36h10() -> np.ndarray:
+    """The published tag36h10 family (2320, 36)
+    (april_tag_detector/src/tag36h10.c)."""
+    from slam_tpu.data.tag_families import tag36h10_codebook
+    return tag36h10_codebook()
+
 
 def make_codebook(seed: int, num_codes: int, bits: int = 36,
                   min_hamming: int = 10) -> np.ndarray:
@@ -127,10 +145,14 @@ def connected_components(mask: jnp.ndarray, iters: int) -> jnp.ndarray:
             jnp.minimum(p[:-2, 1:-1], p[2:, 1:-1]),
             jnp.minimum(p[1:-1, :-2], p[1:-1, 2:]))
         new = jnp.where(mask, jnp.minimum(lab, neigh), sentinel)
-        # pointer jump: label <- label at the pixel the label names
-        flat = jnp.concatenate([new.reshape(-1), sentinel[None]])
-        jumped = flat[new.reshape(-1)].reshape(H, W)
-        new = jnp.where(mask, jnp.minimum(new, jumped), sentinel)
+        # pointer jumps: label <- label at the pixel the label names. Two
+        # jumps per sweep give true log-diameter convergence: a 600-px
+        # perimeter ring (160-px tag border) converges in 8 sweeps, where
+        # one jump per sweep needed >16 (the round-1 cc_iters trap).
+        for _ in range(2):
+            flat = jnp.concatenate([new.reshape(-1), sentinel[None]])
+            jumped = flat[new.reshape(-1)].reshape(H, W)
+            new = jnp.where(mask, jnp.minimum(new, jumped), sentinel)
         return new, None
 
     lab, _ = jax.lax.scan(sweep, init, None, length=iters)
@@ -158,8 +180,19 @@ def detect_tags(img: jnp.ndarray, codebook: jnp.ndarray,
     Q = cfg.max_detections
     T = 4 * Q  # hash slots (headroom for clutter components)
 
-    mean = _box_mean(img, cfg.box)
-    dark = img < (mean - cfg.thresh_margin)
+    if cfg.blur_sigma > 0:
+        # separable 5-tap Gaussian (the reference's seg_sigma pre-blur,
+        # apriltag.c:1000-1060) — knocks down sensor noise before threshold
+        t = jnp.exp(-0.5 * (jnp.arange(-2.0, 3.0) / cfg.blur_sigma) ** 2)
+        t = t / jnp.sum(t)
+        pad = jnp.pad(img, 2, mode="edge")
+        img_s = sum(t[i] * pad[i:i + H, 2:2 + W] for i in range(5))
+        img_s = sum(t[i] * jnp.pad(img_s, ((0, 0), (2, 2)), mode="edge")
+                    [:, i:i + W] for i in range(5))
+    else:
+        img_s = img
+    mean = _box_mean(img_s, cfg.box)
+    dark = img_s < (mean - cfg.thresh_margin)
     labels = connected_components(dark, cfg.cc_iters)
     slot_pp, _ = _component_table(labels, T)               # (H*W,)
 
@@ -288,15 +321,33 @@ def _decode_quad(img, corners, codebook, cfg: FiducialConfig):
     px, py = project(uu.reshape(-1), vv.reshape(-1))
     vals = _bilinear(img, px, py)
 
-    # black reference: border cell centers; white reference: just outside
+    # black reference: border cell centers; white reference: just outside.
+    # Fit linear gray models black(u,v), white(u,v) over the samples (the
+    # reference's graymodel, apriltag.c:798-803) so an illumination gradient
+    # across the tag moves the per-cell threshold with it.
     jb = (jnp.arange(D) + 0.5) / D
     bu = jnp.concatenate([jb, jb, jnp.full(D, 0.5 / D), jnp.full(D, 1 - 0.5 / D)])
     bv = jnp.concatenate([jnp.full(D, 0.5 / D), jnp.full(D, 1 - 0.5 / D), jb, jb])
     bx, by = project(bu, bv)
-    black = jnp.mean(_bilinear(img, bx, by))
-    wx, wy = project(bu * 1.25 - 0.125, bv * 1.25 - 0.125)
-    white = jnp.mean(_bilinear(img, wx, wy))
-    thresh = 0.5 * (black + white)
+    black_vals = _bilinear(img, bx, by)
+    wu, wv = bu * 1.25 - 0.125, bv * 1.25 - 0.125
+    wx, wy = project(wu, wv)
+    white_vals = _bilinear(img, wx, wy)
+
+    def fit_plane(u, v, w):
+        A = jnp.stack([u, v, jnp.ones_like(u)], axis=-1)        # (M, 3)
+        AtA = A.T @ A + 1e-6 * jnp.eye(3)
+        return jnp.linalg.solve(AtA, A.T @ w)                   # (3,)
+
+    cb = fit_plane(bu, bv, black_vals)
+    cw = fit_plane(wu, wv, white_vals)
+    uv1 = jnp.stack([uu.reshape(-1), vv.reshape(-1),
+                     jnp.ones(side * side)], axis=-1)           # (cells, 3)
+    black_c = uv1 @ cb
+    white_c = uv1 @ cw
+    thresh = 0.5 * (black_c + white_c)
+    black = jnp.mean(black_vals)
+    white = jnp.mean(white_vals)
     bits = (vals > thresh)                                  # (side*side,) white=1
 
     grid = bits.reshape(side, side)
