@@ -33,9 +33,29 @@ def make_mesh(n_devices: int | None = None, sp: int = 1,
     return Mesh(devices, axis_names=("dp", "sp"))
 
 
+def grid_rows_sharding(mesh: Mesh, pytree):
+    """Sharding pytree for batched per-robot GRID containers (OccupancyGrid,
+    PointMapGrid, MlsGrid, GroundMap, ...): every leaf shaped (B, H, W, ...)
+    shards its rows over sp (batch over dp); smaller leaves (centers,
+    origins) shard over dp only. This is the spatial-sharding axis — the
+    long-context analogue of SURVEY.md §5 — so grids ride HBM partitioned
+    and XLA inserts the halo collectives for rolls/stencils over ICI."""
+
+    def spec(leaf):
+        if leaf is None or getattr(leaf, "ndim", 0) == 0:
+            return NamedSharding(mesh, P())
+        if leaf.ndim >= 3:  # (B, H, W, ...) -> rows over sp
+            return NamedSharding(
+                mesh, P("dp", "sp", *([None] * (leaf.ndim - 2))))
+        return NamedSharding(mesh, P("dp", *([None] * (leaf.ndim - 1))))
+
+    return jax.tree.map(spec, pytree)
+
+
 def fleet_sharding(mesh: Mesh, states: SlamState):
-    """Sharding pytree for a batched SlamState: batch axis over dp; occupancy
-    grid rows additionally over sp."""
+    """Sharding pytree for a batched SlamState: batch axis over dp; the
+    per-robot spatial grids (occupancy counts/drivable, point-map channels)
+    additionally shard their rows over sp."""
 
     def batch_spec(leaf):
         if leaf is None or getattr(leaf, "ndim", 0) == 0:
@@ -43,12 +63,9 @@ def fleet_sharding(mesh: Mesh, states: SlamState):
         return NamedSharding(mesh, P("dp", *([None] * (leaf.ndim - 1))))
 
     sh = jax.tree.map(batch_spec, states)
-    grid = states.local_map
-    sh = sh.replace(local_map=sh.local_map.replace(
-        counts=NamedSharding(mesh, P("dp", "sp", None)),
-        drivable=NamedSharding(mesh, P("dp", "sp", None)),
-    ))
-    _ = grid
+    sh = sh.replace(local_map=grid_rows_sharding(mesh, states.local_map))
+    if states.map_grid is not None:
+        sh = sh.replace(map_grid=grid_rows_sharding(mesh, states.map_grid))
     return sh
 
 

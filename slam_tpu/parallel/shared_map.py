@@ -38,26 +38,26 @@ def make_shared_map_merger(mesh: Mesh):
     Input: batched world-aligned grids sharded over dp. Output: the merged
     global grid, replicated. The psum is the only cross-device traffic —
     one grid-sized all-reduce over ICI per merge.
+
+    Runs WITH shard_map's replication check: only the additive channels go
+    through the mapped region (local sum + psum over dp makes them provably
+    invariant). The center — which is per-shard data inside the mapped
+    region and therefore can't be proven replicated — is taken outside from
+    robot 0, where the world-aligned precondition makes it the fleet's.
     """
 
-    def _merge_local(grids: PointMapGrid) -> PointMapGrid:
-        local = merge_maps(grids)
-        return PointMapGrid(
-            count=jax.lax.psum(local.count, "dp"),
-            sum_x=jax.lax.psum(local.sum_x, "dp"),
-            sum_y=jax.lax.psum(local.sum_y, "dp"),
-            sum_z=jax.lax.psum(local.sum_z, "dp"),
-            center=local.center,
-            resolution=local.resolution,
-        )
+    def _merge_vals(count, sx, sy, sz):
+        return tuple(jax.lax.psum(jnp.sum(v, axis=0), "dp")
+                     for v in (count, sx, sy, sz))
 
-    # P("dp") / P() as pytree prefixes: every grid leaf is batch-leading.
-    # Replication over unused mesh axes (sp) can't be statically inferred,
-    # so the rep check is disabled.
-    try:
-        sm = jax.shard_map(_merge_local, mesh=mesh, in_specs=(P("dp"),),
-                           out_specs=P(), check_vma=False)
-    except TypeError:  # older jax: check_rep
-        sm = jax.shard_map(_merge_local, mesh=mesh, in_specs=(P("dp"),),
-                           out_specs=P(), check_rep=False)
-    return jax.jit(sm)
+    sm = jax.shard_map(_merge_vals, mesh=mesh, in_specs=P("dp"),
+                       out_specs=P())
+
+    @jax.jit
+    def merge(grids: PointMapGrid) -> PointMapGrid:
+        c, sx, sy, sz = sm(grids.count, grids.sum_x, grids.sum_y, grids.sum_z)
+        return PointMapGrid(count=c, sum_x=sx, sum_y=sy, sum_z=sz,
+                            center=grids.center[0],
+                            resolution=grids.resolution)
+
+    return merge
