@@ -17,12 +17,23 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--steps", type=int, default=40)
+    ap.add_argument("--metrics", action="store_true",
+                    help="host-callback scalar metrics per step (ICP "
+                         "ok-rate, correspondences, residual)")
+    ap.add_argument("--debug-nans", action="store_true",
+                    help="raise at the first NaN produced under jit")
     args = ap.parse_args()
 
     from slam_tpu.config import sim2d_config
     from slam_tpu.pipeline import slam2d
     from slam_tpu.sim import world2d
+    from slam_tpu.utils import metrics
     from slam_tpu.utils.profiling import Throughput
+
+    if args.metrics:
+        metrics.enable()
+    if args.debug_nans:
+        metrics.nan_debug(True)
 
     cfg = sim2d_config()
     world = world2d.make_world(jax.random.PRNGKey(42), cfg.sim)
@@ -44,6 +55,12 @@ def main():
           f"{jax.default_backend()}  |  fleet median xy error "
           f"{np.median(err):.3f} m  |  icp ok {int(states.scan_reg_ok.sum())}"
           f"/{args.batch}")
+    if args.metrics:
+        s = metrics.summary().get("slam_step", {})
+        print(f"metrics over {len(metrics.records())} emitted steps: "
+              f"icp ok-rate {s.get('icp_ok', float('nan')):.3f}  |  "
+              f"mean correspondences {s.get('num_corr', float('nan')):.1f}  |  "
+              f"mean residual {s.get('mean_residual', float('nan')):.4f} m^2")
 
 
 if __name__ == "__main__":

@@ -139,6 +139,11 @@ class GraphConfig:
     rot_move_thresh: float = 0.2         # graphSlamTools.h:36 edge rejection [rad]
     lm_lambda: float = 1e-4              # LM damping for our batched GN solver
     loop_rate_hz: float = 10.0           # graph_slam.cpp:418
+    # relocalization loop-closure edge weight (global_match.cpp:40-41,193-195
+    # COV_XY/COV_YAW; passed through as g2o information per the edge
+    # factory's wiring, graph_slam.cpp:198-199 `info = gE.edgeInf`)
+    reloc_info_xy: float = 1000.0
+    reloc_info_yaw: float = 100.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -39,6 +39,7 @@ def init_graph(cfg: GraphConfig, dtype=jnp.float32) -> PoseGraph:
     return PoseGraph(
         node_pose=jnp.zeros((N, 4), dtype),
         node_valid=jnp.zeros((N,), bool),
+        node_stamp=-jnp.ones((N,), jnp.int32),
         kf_xyz=jnp.zeros((N, P, 3), dtype),
         kf_valid=jnp.zeros((N, P), bool),
         kf_flags=jnp.zeros((N, P), jnp.int32),
@@ -113,17 +114,46 @@ def _edge_measurement(graph: PoseGraph, i: jnp.ndarray, j: jnp.ndarray,
     w = (scene_valid & (d2 < gcfg.edge_max_corr ** 2)).astype(q.dtype)
     info3 = edge_information_2d(q, model_xyz[idx], w)
 
-    # rejection gates (graphSlamTools.cpp:333-358)
+    # rejection gates (graphSlamTools.cpp:333-358) + a minimum-overlap gate:
+    # with no correspondences the LUM information degenerates to ~0 (the
+    # reference would add a zero-weight edge); rejecting outright keeps the
+    # graph free of meaningless edges (e.g. across a kidnap discontinuity)
     x_diff = jnp.abs(init_rel[0] - res.pose[0])
     y_diff = jnp.abs(init_rel[1] - res.pose[1])
     t_diff = jnp.abs(angle_wrap(init_rel[2] - res.pose[2]))
     ok = res.ok & (x_diff <= gcfg.dist_move_thresh) & \
-        (y_diff <= gcfg.dist_move_thresh) & (t_diff <= gcfg.rot_move_thresh)
+        (y_diff <= gcfg.dist_move_thresh) & \
+        (t_diff <= gcfg.rot_move_thresh) & (jnp.sum(w) >= 5)
 
     rel = jnp.concatenate([res.pose, (pj[3] - pi[3])[None]])
     info4 = jnp.zeros((4, 4), info3.dtype)
     info4 = info4.at[:3, :3].set(info3).at[3, 3].set(1.0)
     return rel, info4, ok
+
+
+def newest_node(graph: PoseGraph) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(index, exists) of the most recently inserted valid node. Slots are
+    reused by eviction, so this is a stamp lookup, not num_nodes - 1."""
+    stamp = jnp.where(graph.node_valid, graph.node_stamp, -1)
+    return jnp.argmax(stamp), jnp.max(stamp) >= 0
+
+
+def _eviction_slot(graph: PoseGraph, cfg: GraphConfig):
+    """Most redundant keyframe: the valid node with the smallest distance to
+    another valid node, excluding node 0 (the gauge/home anchor,
+    graph_slam.cpp:102-146 HOME rebuilds from keyframe 0) and the newest
+    node (trajectory continuity). Returns (slot, evictable?)."""
+    xy = graph.node_pose[:, :2]
+    N = xy.shape[0]
+    d = jnp.linalg.norm(xy[:, None, :] - xy[None, :, :], axis=-1)
+    pair_ok = graph.node_valid[:, None] & graph.node_valid[None, :] & \
+        ~jnp.eye(N, dtype=bool)
+    dmin = jnp.min(jnp.where(pair_ok, d, jnp.inf), axis=1)
+    newest, _ = newest_node(graph)
+    score = jnp.where(
+        graph.node_valid & (jnp.arange(N) != 0) & (jnp.arange(N) != newest),
+        dmin, jnp.inf)
+    return jnp.argmin(score), jnp.isfinite(jnp.min(score))
 
 
 def add_keyframe(graph: PoseGraph, pose: jnp.ndarray, cloud: PointCloud,
@@ -133,9 +163,15 @@ def add_keyframe(graph: PoseGraph, pose: jnp.ndarray, cloud: PointCloud,
 
     pose: (4,) x, y, yaw, z. cloud: segmented scene in the robot frame (the
     reference stores velodyne-frame keyframes, graph_slam.cpp:503). Returns
-    (graph, added?). Fixed capacity: full graph stops adding (the reference
-    grows unboundedly and rebuilds the world map at O(N) per optimization —
-    graph_slam.cpp:260-280 — which is its own scalability cliff).
+    (graph, added?).
+
+    Capacity policy: when the fixed-capacity graph is full, the most
+    redundant keyframe (smallest distance to another keyframe, never node 0
+    or the newest) is EVICTED — its slot and edges are reclaimed — so
+    mapping never silently degrades (round-1 behavior). The reference grows
+    unboundedly and rebuilds the world map at O(N) per optimization
+    (graph_slam.cpp:260-280); bounded memory without silent degradation
+    beats that cliff.
     """
     if min_points is None:
         min_points = 0
@@ -143,61 +179,82 @@ def add_keyframe(graph: PoseGraph, pose: jnp.ndarray, cloud: PointCloud,
     first = graph.num_nodes == 0
     has_room = graph.num_nodes < cfg.max_nodes
     enough_pts = cloud.count() >= min_points
-    add = (far_enough | first) & has_room & enough_pts
+    want = (far_enough | first) & enough_pts
+
+    evict_slot, evictable = _eviction_slot(graph, cfg)
+    add = want & (has_room | evictable)
+    evicting = add & ~has_room
 
     n = graph.num_nodes
-    safe_n = jnp.minimum(n, cfg.max_nodes - 1)
+    slot = jnp.where(has_room, jnp.minimum(n, cfg.max_nodes - 1), evict_slot)
+
+    # drop edges touching the evicted node
+    edge_dead = evicting & ((graph.edge_ij[:, 0] == slot) |
+                            (graph.edge_ij[:, 1] == slot))
+    edge_valid = graph.edge_valid & ~edge_dead
 
     from slam_tpu.ops.voxel import compact
     packed = compact(cloud, cfg.keyframe_points)
     kf_xyz = packed.xyz
     kf_valid = packed.valid
     kf_flags = packed.flags
+    stamp = jnp.max(graph.node_stamp) + 1
 
     new_graph = graph.replace(
-        node_pose=graph.node_pose.at[safe_n].set(jnp.where(add, pose,
-                                                           graph.node_pose[safe_n])),
-        node_valid=graph.node_valid.at[safe_n].set(
-            jnp.where(add, True, graph.node_valid[safe_n])),
-        kf_xyz=graph.kf_xyz.at[safe_n].set(
-            jnp.where(add, kf_xyz, graph.kf_xyz[safe_n])),
-        kf_valid=graph.kf_valid.at[safe_n].set(
-            jnp.where(add, kf_valid, graph.kf_valid[safe_n])),
-        kf_flags=graph.kf_flags.at[safe_n].set(
-            jnp.where(add, kf_flags, graph.kf_flags[safe_n])),
-        num_nodes=jnp.where(add, n + 1, n),
+        node_pose=graph.node_pose.at[slot].set(jnp.where(add, pose,
+                                                         graph.node_pose[slot])),
+        node_valid=graph.node_valid.at[slot].set(
+            jnp.where(add, True, graph.node_valid[slot])),
+        node_stamp=graph.node_stamp.at[slot].set(
+            jnp.where(add, stamp, graph.node_stamp[slot])),
+        kf_xyz=graph.kf_xyz.at[slot].set(
+            jnp.where(add, kf_xyz, graph.kf_xyz[slot])),
+        kf_valid=graph.kf_valid.at[slot].set(
+            jnp.where(add, kf_valid, graph.kf_valid[slot])),
+        kf_flags=graph.kf_flags.at[slot].set(
+            jnp.where(add, kf_flags, graph.kf_flags[slot])),
+        edge_valid=edge_valid,
+        num_edges=jnp.sum(edge_valid).astype(graph.num_edges.dtype),
+        num_nodes=jnp.where(add & has_room, n + 1, n),
     )
 
-    # edges: previous node + KNN (graph_slam.cpp:508-519)
+    # edges: previous (most recent other) node + KNN (graph_slam.cpp:508-519)
     def make_edges(g: PoseGraph) -> PoseGraph:
-        prev = safe_n - 1
-        knn_idx, knn_ok = knn_keyframes(g, pose[:2], cfg.knn_edges, safe_n)
+        other_stamp = jnp.where(
+            g.node_valid & (jnp.arange(g.node_stamp.shape[0]) != slot),
+            g.node_stamp, -1)
+        prev = jnp.argmax(other_stamp).astype(jnp.int32)
+        prev_ok = jnp.max(other_stamp) >= 0
+        knn_idx, knn_ok = knn_keyframes(g, pose[:2], cfg.knn_edges, slot)
         cand = jnp.concatenate([prev[None], knn_idx])
-        cand_ok = jnp.concatenate([(prev >= 0)[None],
+        cand_ok = jnp.concatenate([prev_ok[None],
                                    knn_ok & (knn_idx != prev)])
 
         def add_one(g: PoseGraph, args):
             src, ok_c = args
-            rel, info, icp_ok = _edge_measurement(g, src, safe_n, icp_cfg, cfg)
-            e = jnp.minimum(g.num_edges, cfg.max_edges - 1)
-            room = g.num_edges < cfg.max_edges
+            rel, info, icp_ok = _edge_measurement(g, src, slot, icp_cfg, cfg)
+            # first free edge slot (eviction reclaims slots, so scan for one
+            # rather than using a cursor)
+            e = jnp.argmin(g.edge_valid).astype(jnp.int32)
+            room = ~g.edge_valid[e]
             do = ok_c & icp_ok & room
+            new_valid = g.edge_valid.at[e].set(
+                jnp.where(do, True, g.edge_valid[e]))
             g = g.replace(
                 edge_ij=g.edge_ij.at[e].set(
-                    jnp.where(do, jnp.stack([src, safe_n]), g.edge_ij[e])),
+                    jnp.where(do, jnp.stack([src, slot]), g.edge_ij[e])),
                 edge_rel=g.edge_rel.at[e].set(jnp.where(do, rel, g.edge_rel[e])),
                 edge_info=g.edge_info.at[e].set(
                     jnp.where(do, info, g.edge_info[e])),
-                edge_valid=g.edge_valid.at[e].set(
-                    jnp.where(do, True, g.edge_valid[e])),
-                num_edges=jnp.where(do, g.num_edges + 1, g.num_edges),
+                edge_valid=new_valid,
+                num_edges=jnp.sum(new_valid).astype(g.num_edges.dtype),
             )
             return g, None
 
         g, _ = jax.lax.scan(add_one, g, (cand, cand_ok))
         return g
 
-    with_edges = jax.lax.cond(add & (safe_n > 0), make_edges,
+    with_edges = jax.lax.cond(add & ~first, make_edges,
                               lambda g: g, new_graph)
     return with_edges, add
 
@@ -264,7 +321,7 @@ def optimize(graph: PoseGraph, cfg: GraphConfig) -> tuple[PoseGraph, jnp.ndarray
     i_idx = graph.edge_ij[:, 0]
     j_idx = graph.edge_ij[:, 1]
 
-    last = jnp.maximum(graph.num_nodes - 1, 0)
+    last, _ = newest_node(graph)
     pre_last = graph.node_pose[last]
 
     def gn_iter(poses, _):
@@ -324,6 +381,59 @@ def optimize(graph: PoseGraph, cfg: GraphConfig) -> tuple[PoseGraph, jnp.ndarray
     delta = post_last - pre_last
     delta = delta.at[2].set(angle_wrap(delta[2]))
     return graph.replace(node_pose=new_pose), delta
+
+
+def relocalization_edge(graph: PoseGraph, belief_pose4: jnp.ndarray,
+                        match_pose3: jnp.ndarray, match_ok: jnp.ndarray,
+                        cfg: GraphConfig) -> tuple[PoseGraph, jnp.ndarray]:
+    """Inject an accepted global match as a loop-closure edge from node 0 to
+    the newest keyframe (global_match.cpp:177-221 publishes
+    Edge{from: 0, to: id} with covariance[0]=COV_XY=1000,
+    covariance[8]=COV_YAW=100, global_match.cpp:40-41,193-195).
+
+    The match fixes the ROBOT's pose in the map frame; the newest keyframe is
+    placed by composing it with the belief-frame offset robot->keyframe
+    (trusted: both live in the same drifted frame). The edge weight follows
+    the reference's wiring: graph_slam's edge factory passes the message
+    matrix straight through as the g2o information (`info = gE.edgeInf`,
+    graph_slam.cpp:198-199; the covariance-inversion line above it is
+    commented out), so COV_XY/COV_YAW act as information here too.
+
+    Returns (graph, injected?). Call optimize() afterwards — the reference's
+    handler forces re-optimization for from==0 edges (graph_slam.cpp:236-238).
+    """
+    from slam_tpu.geometry import se2_compose
+
+    last, has_last = newest_node(graph)
+    kf = graph.node_pose[last]
+    rel_bk = se2_relative(belief_pose4[:3], kf[:3])      # belief frame
+    kf_map3 = se2_compose(match_pose3, rel_bk)           # keyframe in map
+    rel3 = se2_relative(graph.node_pose[0, :3], kf_map3)
+    rel = jnp.concatenate([rel3, (kf[3] - graph.node_pose[0, 3])[None]])
+
+    info4 = jnp.zeros((4, 4), graph.edge_info.dtype)
+    info4 = info4.at[0, 0].set(cfg.reloc_info_xy)
+    info4 = info4.at[1, 1].set(cfg.reloc_info_xy)
+    info4 = info4.at[2, 2].set(cfg.reloc_info_yaw)
+    info4 = info4.at[3, 3].set(1.0)
+
+    e = jnp.argmin(graph.edge_valid).astype(jnp.int32)
+    room = ~graph.edge_valid[e]
+    do = match_ok & has_last & (last != 0) & room
+    new_valid = graph.edge_valid.at[e].set(
+        jnp.where(do, True, graph.edge_valid[e]))
+    g = graph.replace(
+        edge_ij=graph.edge_ij.at[e].set(
+            jnp.where(do, jnp.stack([jnp.int32(0), last.astype(jnp.int32)]),
+                      graph.edge_ij[e])),
+        edge_rel=graph.edge_rel.at[e].set(
+            jnp.where(do, rel, graph.edge_rel[e])),
+        edge_info=graph.edge_info.at[e].set(
+            jnp.where(do, info4, graph.edge_info[e])),
+        edge_valid=new_valid,
+        num_edges=jnp.sum(new_valid).astype(graph.num_edges.dtype),
+    )
+    return g, do
 
 
 def regenerate_map_mls(graph: PoseGraph, mls_cfg, capacity: int):

@@ -16,11 +16,17 @@ in three phases:
      points, re-sort by z, merge the ground pair when clearance <
      cluster_combine_dist (mls.cpp:282-298), and run the drivability stencil.
 
-Deviations (documented tolerances): within one scan, points in the same cell
-update the cluster as a batch rather than sequentially (the running stats they
-produce agree up to reassociation of points that straddle the gate while it
-moves); the recursive neighbor update (mls.cpp:313) becomes one synchronous
-stencil pass per scan; at most one cluster spawns per cell per scan.
+Deviations (tolerances quantified by tests/test_mls_parity.py against a
+point-sequential f64 oracle of mls.cpp:152-406): within one scan, points in
+the same cell update the cluster as a batch rather than sequentially (the
+running stats they produce agree up to reassociation of points that straddle
+the gate while it moves); the recursive neighbor update (mls.cpp:313) becomes
+one synchronous stencil pass per scan; at most one cluster spawns per cell
+per scan; never-initialized cell buffers are not re-integrated on later scans
+(a reference quirk: updateCell returns before cloud.clear() when no cluster
+has min points). Measured on terrain+obstacle scans: drivability labels agree
+100% (bound asserted: >=97%); ground-cluster height mean |dz| ~5 mm, max
+<= 9.1 cm (bounds: <=1 cm / <=15 cm).
 """
 
 from __future__ import annotations

@@ -43,3 +43,38 @@ def apply_relocalization(state: SlamState, match: MatchResult) -> SlamState:
         jnp.concatenate([match.pose, state.pose[3:4]]),
         state.pose)
     return state.replace(ekf=new_ekf, pose=new_pose)
+
+
+def apply_relocalization_graph(state: SlamState, match: MatchResult,
+                               cfg: SlamConfig) -> SlamState:
+    """Full relocalization pathway for graph-SLAM robots: shift the EKF
+    belief AND inject the match as a loop-closure edge from node 0, then
+    re-optimize so the whole keyframe history snaps back — the mechanism the
+    reference designed (global_match.cpp:177-221 publishes Edge{from: 0};
+    the handler forces re-optimization for from==0 edges,
+    graph_slam.cpp:236-238) but left unwired on the receiving side.
+
+    Keyframes added after a kidnap sit in a drifted frame; their edges to
+    the pre-kidnap graph were rejected by the >10 m / >0.2 rad gates, so the
+    post-kidnap subgraph floats on the regularizer. The reloc edge
+    re-anchors it and optimize() redistributes the correction."""
+    from slam_tpu.graph import pose_graph as pg
+
+    # the PRE-shift belief built the graph, so the robot->keyframe offset
+    # must be taken in that frame before the EKF belief is moved
+    belief = state.pose
+    state = apply_relocalization(state, match)
+    graph, injected = pg.relocalization_edge(
+        state.graph, belief, match.pose, match.ok, cfg.graph)
+
+    def do_opt(g):
+        g, _ = pg.optimize(g, cfg.graph)
+        return g
+
+    graph = jax.lax.cond(injected, do_opt, lambda g: g, graph)
+    map_cloud = jax.lax.cond(
+        injected,
+        lambda g: pg.regenerate_map(g, state.map_cloud.capacity,
+                                    cfg.icp.voxel_leaf_obs),
+        lambda g: state.map_cloud, graph)
+    return state.replace(graph=graph, map_cloud=map_cloud)

@@ -62,6 +62,7 @@ def init_state(key: jnp.ndarray, cfg: SlamConfig,
         map_cloud=make_cloud(cfg.cloud.map_capacity),
         map_grid=map_grid,
         graph=graph,
+        graph_full=jnp.asarray(False),
         step=jnp.int32(0),
         true_pose=jnp.zeros(4),
         rng=key,
@@ -271,6 +272,9 @@ def process_frame(state: SlamState, scan_xyz, hit, gyro, cmd,
                             reclassify=not incremental_map)
 
     # --- EKF SLAM update (scan_registration.cpp:161-175 failure gating) ---
+    from slam_tpu.utils import metrics
+    metrics.emit("slam_step", icp_ok=icp.ok, num_corr=icp.num_corr,
+                 mean_residual=icp.mean_residual)
     ekf = ekf_mod.slam_update(ekf, icp.pose, cfg.ekf, has_meas=icp.ok)
     fused = jnp.stack([ekf.mu[0], ekf.mu[1], ekf.mu[6]])
 
@@ -401,7 +405,12 @@ def graph_update(state: SlamState, cfg: SlamConfig) -> SlamState:
                                     cfg.icp.voxel_leaf_obs),
         lambda g: state.map_cloud, graph)
 
-    return state.replace(graph=graph, map_cloud=map_cloud)
+    from slam_tpu.utils import metrics
+    metrics.emit("graph_update", added=added, num_nodes=graph.num_nodes,
+                 num_edges=graph.num_edges,
+                 graph_full=graph.num_nodes >= cfg.graph.max_nodes)
+    return state.replace(graph=graph, map_cloud=map_cloud,
+                         graph_full=graph.num_nodes >= cfg.graph.max_nodes)
 
 
 @partial(jax.jit, static_argnames=("cfg", "num_macro", "graph_every"))

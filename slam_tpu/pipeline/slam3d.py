@@ -97,11 +97,8 @@ def build_scene_3d(scan_xyz, hit, cfg: SlamConfig):
 def slam_step_3d(state: SlamState, world: World3D, ground_map: GroundMap,
                  cfg: SlamConfig, refresh_map: bool = True,
                  shift_maps: bool = True):
-    """One 3D SLAM tick. Returns (state, ground_map).
-
-    ground_map: persistent world-frame ground store (the reference's
-    graph_slam-published global ground cloud feeding height interpolation,
-    scan_registration.cpp:185-186 + icpTools.cpp:292).
+    """One simulated 3D SLAM tick: drive on terrain, sense (the robot tilts
+    with the surface), then process the frame. Returns (state, ground_map).
     """
     dt = cfg.sim.dt
     key, k_noise, k_gyro = jax.random.split(state.rng, 3)
@@ -115,13 +112,45 @@ def slam_step_3d(state: SlamState, world: World3D, ground_map: GroundMap,
     scan_tilted, hit = world3d.raycast(world, true2, cfg.sim,
                                        noise_key=k_noise, roll=roll,
                                        pitch=pitch)
+    imu_noise = cfg.sim.gyro_noise * jax.random.normal(k_gyro, (3,))
+    gyro = cmd[2] + cfg.sim.gyro_bias + imu_noise[2]
+
+    new_state, gm = process_frame_3d(
+        state, ground_map, scan_tilted, hit, roll + imu_noise[0],
+        pitch + imu_noise[1], gyro, cmd, cfg, refresh_map=refresh_map,
+        shift_maps=shift_maps)
+    return new_state.replace(
+        true_pose=jnp.concatenate([true2, true_z[None]]), rng=key), gm
+
+
+def slam_step_3d_io(state: SlamState, ground_map: GroundMap, scan_tilted,
+                    hit, roll, pitch, gyro, cmd, cfg: SlamConfig,
+                    refresh_map: bool = True, shift_maps: bool = True):
+    """3D SLAM tick driven by EXTERNAL sensor frames (live deployment /
+    replay / oracle comparisons): tilted-sensor-frame Velodyne points, hit
+    mask, measured IMU attitude, raw gyro z, commanded body velocity."""
+    return process_frame_3d(state, ground_map, scan_tilted, hit, roll, pitch,
+                            gyro, cmd, cfg, refresh_map=refresh_map,
+                            shift_maps=shift_maps)
+
+
+def process_frame_3d(state: SlamState, ground_map: GroundMap, scan_tilted,
+                     hit, roll, pitch, gyro, cmd, cfg: SlamConfig,
+                     refresh_map: bool = True, shift_maps: bool = True):
+    """Sensor frame -> updated (state, ground_map): IMU tilt compensation ->
+    EKF predict/gyro -> GP-INSAC scene -> registration -> height
+    interpolation -> maps.
+
+    ground_map: persistent world-frame ground store (the reference's
+    graph_slam-published global ground cloud feeding height interpolation,
+    scan_registration.cpp:185-186 + icpTools.cpp:292).
+    """
+    dt = cfg.sim.dt
+
     # IMU roll/pitch compensation (pointcloud_filter.cpp:103-148): rotate the
     # tilted sensor frame upright using the measured attitude
     from slam_tpu.geometry import rp_compensate
-    imu_noise = cfg.sim.gyro_noise * jax.random.normal(k_gyro, (3,))
-    scan_xyz = rp_compensate(scan_tilted, roll + imu_noise[0],
-                             pitch + imu_noise[1])
-    gyro = cmd[2] + cfg.sim.gyro_bias + imu_noise[2]
+    scan_xyz = rp_compensate(scan_tilted, roll, pitch)
 
     # --- EKF predict + gyro ---
     ekf = ekf_mod.motion_update(state.ekf, cmd, dt, cfg.ekf)
@@ -142,6 +171,10 @@ def slam_step_3d(state: SlamState, world: World3D, ground_map: GroundMap,
                       target.is_ga(), pred, cfg.icp)
 
     # --- EKF fuse + height interpolation ---
+    from slam_tpu.utils import metrics
+    metrics.emit("slam_step_3d", icp_ok=icp.ok, num_corr=icp.num_corr,
+                 mean_residual=icp.mean_residual,
+                 scene_points=obs_scene.count())
     ekf = ekf_mod.slam_update(ekf, icp.pose, cfg.ekf, has_meas=icp.ok)
     fused = jnp.stack([ekf.mu[0], ekf.mu[1], ekf.mu[6]])
     pose4_pre = jnp.concatenate([fused, state.pose[3:4]])
@@ -203,8 +236,6 @@ def slam_step_3d(state: SlamState, world: World3D, ground_map: GroundMap,
         map_cloud=map_cloud,
         map_grid=mg,
         step=state.step + 1,
-        true_pose=jnp.concatenate([true2, true_z[None]]),
-        rng=key,
     )
     return new_state, GroundMap(grid=gg, cloud=gnd_cloud)
 

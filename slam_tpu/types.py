@@ -124,6 +124,9 @@ class PoseGraph:
 
     node_pose: jnp.ndarray
     node_valid: jnp.ndarray
+    node_stamp: jnp.ndarray  # (N,) int32 insertion order; -1 = never used.
+    #   Slots are reused by keyframe eviction (capacity policy), so "newest
+    #   node" and "previous node" are stamp lookups, not index arithmetic.
     kf_xyz: jnp.ndarray
     kf_valid: jnp.ndarray
     kf_flags: jnp.ndarray
@@ -149,6 +152,8 @@ class SlamState:
     map_cloud: PointCloud        # scan-to-map target (global obstacle+ground means)
     map_grid: object             # Optional[PointMapGrid] incremental map store
     graph: PoseGraph
+    graph_full: jnp.ndarray      # () bool — keyframe capacity reached; new
+    #   keyframes now EVICT the most redundant old one (never silent)
     step: jnp.ndarray            # () int32 sim/step counter
     true_pose: jnp.ndarray       # (4,) simulation ground truth (for ATE)
     rng: jnp.ndarray             # PRNG key

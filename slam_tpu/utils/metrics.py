@@ -1,0 +1,129 @@
+"""In-step scalar metrics + NaN debugging — the observability layer the
+reference spread across ROS log streams (ROS_INFO/WARN in nasa_ekf.cpp:331,
+icp.cpp:31-39, graphSlamTools.cpp:356) and ad-hoc CSVs
+(pointcloud_filter.cpp:288,348). SURVEY.md §5 plan: host callbacks for
+scalar metrics + a jax_debug_nans mode.
+
+Usage:
+    from slam_tpu.utils import metrics
+    metrics.enable()              # BEFORE tracing (clears jit caches)
+    ... run jitted steps ...
+    for rec in metrics.records(): ...
+    metrics.disable()
+
+Emission sites gate on `metrics.enabled()` at TRACE time, so the disabled
+path compiles to nothing — zero cost in production. enable()/disable()
+clear the jit caches so already-compiled functions pick the change up.
+Under vmap, jax unrolls the callback per batch element, so a fleet step
+yields one record per robot; summary() aggregates over the history.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Callable
+
+import jax
+import numpy as np
+
+_lock = threading.Lock()
+_enabled = False
+_records: list[dict] = []
+_user_cb: Callable[[dict], None] | None = None
+
+
+def enabled() -> bool:
+    return _enabled
+
+
+def _backend_supports_callbacks() -> bool:
+    """Probe host-callback support: some PJRT backends (the axon TPU tunnel
+    in this image) reject host send/recv outright."""
+    import jax.numpy as jnp
+    try:
+        x = jax.jit(
+            lambda v: (jax.debug.callback(lambda _: None, v), v)[1]
+        )(jnp.float32(0.0))
+        jax.block_until_ready(x)
+        return True
+    except Exception:
+        return False
+
+
+def enable(callback: Callable[[dict], None] | None = None) -> bool:
+    """Turn on metric emission. Clears jit caches: emission is a trace-time
+    decision, so compiled functions must retrace to start emitting.
+
+    Returns False (and stays disabled, with a warning) when the active
+    backend cannot do host callbacks — run on the CPU mesh for scalar
+    metrics there, or use jax.profiler traces on-device."""
+    global _enabled, _user_cb
+    if not _backend_supports_callbacks():
+        import warnings
+        warnings.warn(
+            "metrics.enable(): backend %r does not support host callbacks; "
+            "metrics stay disabled (use the CPU mesh or profiler traces)"
+            % jax.default_backend())
+        return False
+    _enabled = True
+    _user_cb = callback
+    jax.clear_caches()
+    return True
+
+
+def disable() -> None:
+    global _enabled, _user_cb
+    _enabled = False
+    _user_cb = None
+    jax.clear_caches()
+
+
+def records() -> list[dict]:
+    with _lock:
+        return list(_records)
+
+
+def clear() -> None:
+    with _lock:
+        _records.clear()
+
+
+def _record(name: str, **scalars) -> None:
+    rec = {"name": name}
+    for k, v in scalars.items():
+        a = np.asarray(v)
+        rec[k] = float(a.mean()) if a.ndim else float(a)
+        if a.ndim:
+            rec.setdefault("batch", int(a.shape[0]))
+    with _lock:
+        _records.append(rec)
+    if _user_cb is not None:
+        _user_cb(rec)
+
+
+def emit(name: str, **scalars) -> None:
+    """Emit named scalars from inside a jitted function. No-op (compiles to
+    nothing) unless metrics are enabled at trace time."""
+    if not _enabled:
+        return
+    jax.debug.callback(lambda **kw: _record(name, **kw), **scalars)
+
+
+def summary() -> dict[str, dict[str, float]]:
+    """Mean of every scalar per metric name over the recorded history."""
+    out: dict[str, dict[str, list]] = {}
+    for rec in records():
+        d = out.setdefault(rec["name"], {})
+        for k, v in rec.items():
+            if k in ("name",):
+                continue
+            d.setdefault(k, []).append(v)
+    return {n: {k: float(np.mean(v)) for k, v in d.items()}
+            for n, d in out.items()}
+
+
+def nan_debug(enable_nan_checks: bool = True) -> None:
+    """Opt-in jax_debug_nans: any NaN produced under jit raises at the
+    offending primitive (the race-detector analogue for numeric bugs;
+    SURVEY.md §5)."""
+    jax.config.update("jax_debug_nans", enable_nan_checks)

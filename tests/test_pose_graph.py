@@ -149,8 +149,10 @@ def _manual_graph(gcfg):
         edge_info[k, :3, :3] = om
         edge_info[k, 3, 3] = 1.0
         edge_valid[k] = True
+    node_stamp = -np.ones(N, np.int32); node_stamp[:4] = np.arange(4)
     graph = graph.replace(
         node_pose=jnp.array(node_pose), node_valid=jnp.array(node_valid),
+        node_stamp=jnp.array(node_stamp),
         edge_ij=jnp.array(edge_ij), edge_rel=jnp.array(edge_rel),
         edge_info=jnp.array(edge_info), edge_valid=jnp.array(edge_valid),
         num_nodes=jnp.int32(4), num_edges=jnp.int32(len(edges)))
