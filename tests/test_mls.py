@@ -116,3 +116,29 @@ def test_segmented_cloud_export():
     gz = np.asarray(gnd.xyz[np.asarray(gnd.valid)][:, 2])
     assert gz.mean() < 0.2
     assert oz.max() > 0.5
+
+
+def test_mls_marker_visualization(tmp_path):
+    """Marker-level viz (MLS::visualize, mls.cpp:558-679): one sphere per
+    live cluster with the reference's color/alpha/scale semantics."""
+    from slam_tpu.utils.viz import mls_markers, render_mls_markers
+
+    cfg = cfg_small()
+    grid = init_mls(cfg)
+    cells = [(x * 0.5, y * 0.5) for x in range(-3, 4) for y in range(-3, 4)]
+    grid = add_to_mls(grid, _cloud_at(cells, [0.0] * len(cells)), cfg)
+    wall = [(2.0, y * 0.5) for y in range(-3, 4)]
+    grid = add_to_mls(grid, _cloud_at(wall, [0.9] * len(wall), seed=2), cfg)
+
+    m = mls_markers(grid, cfg)
+    n = len(m["pos"])
+    assert n == int((np.asarray(grid.num_pts) > 0).sum())
+    assert m["scale"].shape == (n, 3) and m["rgba"].shape == (n, 4)
+    # ground clusters of drivable cells are green; initialized alpha is 0.6
+    greens = (m["rgba"][:, 1] > 0.5) & (m["rgba"][:, 3] > 0.5)
+    assert greens.any()
+    # the wall creates non-drivable (red) or elevated (blue) markers
+    assert ((m["rgba"][:, 0] > 0.5) | (m["rgba"][:, 2] > 0.5)).any()
+    out = tmp_path / "mls.png"
+    render_mls_markers(str(out), m)
+    assert out.exists() or (tmp_path / "mls.png.npz").exists()
