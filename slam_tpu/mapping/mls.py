@@ -56,7 +56,8 @@ def shift_origin_mls(grid: MlsGrid, new_center_xy: jnp.ndarray,
     res = jnp.asarray(cfg.resolution, grid.center.dtype)
     d = jnp.round((new_center_xy - grid.center) / res).astype(jnp.int32)
     center = grid.center + d.astype(grid.center.dtype) * res
-    roll2 = lambda a: jnp.roll(a, shift=(-d[0], -d[1]), axis=(0, 1))
+    from slam_tpu.ops.roll import roll_2d
+    roll2 = lambda a: roll_2d(a, d[0], d[1])
     mean = roll2(grid.mean)
     var_z = roll2(grid.var_z)
     num = roll2(grid.num_pts)

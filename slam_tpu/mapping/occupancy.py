@@ -38,8 +38,9 @@ def shift_origin(grid: OccupancyGrid, new_center_xy: jnp.ndarray,
     d = jnp.round((new_center_xy - grid.center) / res).astype(jnp.int32)
     center = grid.center + d.astype(grid.center.dtype) * res
 
-    counts = jnp.roll(grid.counts, shift=(-d[0], -d[1]), axis=(0, 1))
-    drivable = jnp.roll(grid.drivable, shift=(-d[0], -d[1]), axis=(0, 1))
+    from slam_tpu.ops.roll import roll_2d
+    counts = roll_2d(grid.counts, d[0], d[1])
+    drivable = roll_2d(grid.drivable, d[0], d[1])
 
     # clear the band that wrapped in (mls.cpp:457-468)
     H, W = counts.shape

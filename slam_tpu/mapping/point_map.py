@@ -58,8 +58,8 @@ def shift_point_map(grid: PointMapGrid, new_center_xy: jnp.ndarray,
              (jj + d[1] < 0) | (jj + d[1] >= G))
 
     def move(a):
-        return jnp.where(fresh, 0.0, jnp.roll(a, shift=(-d[0], -d[1]),
-                                              axis=(0, 1)))
+        from slam_tpu.ops.roll import roll_2d
+        return jnp.where(fresh, 0.0, roll_2d(a, d[0], d[1]))
 
     return PointMapGrid(count=move(grid.count), sum_x=move(grid.sum_x),
                         sum_y=move(grid.sum_y), sum_z=move(grid.sum_z),
