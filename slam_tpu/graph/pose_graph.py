@@ -230,9 +230,14 @@ def add_keyframe(graph: PoseGraph, pose: jnp.ndarray, cloud: PointCloud,
         cand_ok = jnp.concatenate([prev_ok[None],
                                    knn_ok & (knn_idx != prev)])
 
+        # all candidate edge ICPs in ONE batched call (the reference runs
+        # them serially, graph_slam.cpp:508-519; vmap keeps the fused kernel
+        # busy with 4 problems instead of dispatching it 4 times)
+        rels, infos, icp_oks = jax.vmap(
+            lambda src: _edge_measurement(g, src, slot, icp_cfg, cfg))(cand)
+
         def add_one(g: PoseGraph, args):
-            src, ok_c = args
-            rel, info, icp_ok = _edge_measurement(g, src, slot, icp_cfg, cfg)
+            src, ok_c, rel, info, icp_ok = args
             # first free edge slot (eviction reclaims slots, so scan for one
             # rather than using a cursor)
             e = jnp.argmin(g.edge_valid).astype(jnp.int32)
@@ -251,7 +256,7 @@ def add_keyframe(graph: PoseGraph, pose: jnp.ndarray, cloud: PointCloud,
             )
             return g, None
 
-        g, _ = jax.lax.scan(add_one, g, (cand, cand_ok))
+        g, _ = jax.lax.scan(add_one, g, (cand, cand_ok, rels, infos, icp_oks))
         return g
 
     with_edges = jax.lax.cond(add & ~first, make_edges,
