@@ -138,7 +138,7 @@ def newest_node(graph: PoseGraph) -> tuple[jnp.ndarray, jnp.ndarray]:
     return jnp.argmax(stamp), jnp.max(stamp) >= 0
 
 
-def _eviction_slot(graph: PoseGraph, cfg: GraphConfig):
+def _eviction_slot(graph: PoseGraph):
     """Most redundant keyframe: the valid node with the smallest distance to
     another valid node, excluding node 0 (the gauge/home anchor,
     graph_slam.cpp:102-146 HOME rebuilds from keyframe 0) and the newest
@@ -181,7 +181,7 @@ def add_keyframe(graph: PoseGraph, pose: jnp.ndarray, cloud: PointCloud,
     enough_pts = cloud.count() >= min_points
     want = (far_enough | first) & enough_pts
 
-    evict_slot, evictable = _eviction_slot(graph, cfg)
+    evict_slot, evictable = _eviction_slot(graph)
     add = want & (has_room | evictable)
     evicting = add & ~has_room
 
