@@ -248,7 +248,7 @@ def sim2d_config() -> SlamConfig:
         # capacities sized to the data (360-beam scans; ~300-600 occupied map
         # cells) and to lane multiples — ICP kernel cost scales with S x C
         cloud=dataclasses.replace(c.cloud, scan_capacity=512, scene_capacity=384,
-                                  ground_capacity=8, map_capacity=768),
+                                  ground_capacity=8, map_capacity=512),
         mls=dataclasses.replace(c.mls, size_x=192, size_y=192, resolution=0.5,
                                 max_range=50.0, update_dist=96),
     )
