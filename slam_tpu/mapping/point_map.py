@@ -119,10 +119,13 @@ def export_points(grid: PointMapGrid, capacity: int, min_count: float = 1.0,
     resolution = grid.resolution
     score = jnp.where(occ, grid.count, 0.0).reshape(-1)
     # approx_max_k: TPU-native partial reduction (exact top_k lowers to a
-    # full 37k-element sort, ~50 ms/step at batch 1024); recall ~0.95 only
-    # matters when occupied cells exceed capacity, where dropping a few
-    # low-count cells is harmless
-    v, idx = jax.lax.approx_max_k(score, capacity, recall_target=0.95)
+    # full 37k-element sort, ~56 ms at batch 1024; recall 0.95 still sorts
+    # an 18k-wide reduced set, ~26 ms). recall 0.8 reduces 8x deeper before
+    # the sort (3.9 ms) and measures 99.86% occupied-cell recall at the
+    # typical ~600-occupied/512-cap operating point — a dropped cell stays
+    # in the persistent grid and reappears at the next export, so the only
+    # effect is a marginally sparser ICP target for one macro block
+    v, idx = jax.lax.approx_max_k(score, capacity, recall_target=0.8)
     sel = v >= min_count
     ci = idx // G
     cj = idx % G

@@ -164,7 +164,10 @@ def edge_information_2d(t_pts, m_pts, w):
                     [-sy, sx, xpy]])
     MZ = jnp.stack([jnp.sum(w * dx), jnp.sum(w * dy),
                     jnp.sum(w * (-y * dx + x * dy))])
-    D = jnp.linalg.solve(MM + 1e-9 * jnp.eye(3), MZ)
+    # closed-form 3x3 solve (MM is SPD by construction): avoids the LU
+    # custom-call jnp.linalg.solve lowers to on TPU
+    from slam_tpu.ops.linalg import inv3
+    D = inv3(MM + 1e-9 * jnp.eye(3)) @ MZ
     tx = dx - D[0] + y * D[2]
     ty = dy - D[1] - x * D[2]
     ss = jnp.sum(w * (tx * tx + ty * ty)) / jnp.maximum(2.0 * n - 3.0, 1.0)

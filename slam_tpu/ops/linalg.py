@@ -69,3 +69,26 @@ def spd_solve(M: jnp.ndarray, R: jnp.ndarray) -> jnp.ndarray:
     """Solve M Y = R for batched SPD M via unrolled Cholesky."""
     L = cholesky_unrolled(M)
     return back_substitute(L, forward_substitute(L, R))
+
+
+def inv3(M: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form adjugate inverse of batched 3x3 matrices (..., 3, 3).
+
+    jnp.linalg.inv on TPU lowers to an LuDecompositionBlock custom-call plus
+    triangular solves (~1 ms/tick at batch 1024 in the EKF slam update); the
+    cofactor expansion is ~30 fused VPU ops. Intended for well-conditioned
+    matrices (innovation covariances S = C Sigma C^T + Q with Q >= 10 I)."""
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    A = e * i - f * h
+    B = f * g - d * i
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    inv_det = 1.0 / det
+    adj = jnp.stack([
+        jnp.stack([A, c * h - b * i, b * f - c * e], axis=-1),
+        jnp.stack([B, a * i - c * g, c * d - a * f], axis=-1),
+        jnp.stack([C, b * g - a * h, a * e - b * d], axis=-1),
+    ], axis=-2)
+    return adj * inv_det[..., None, None]

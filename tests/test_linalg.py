@@ -69,3 +69,18 @@ def test_masked_gp_system_matches_general_solve():
     v_ref = 1.0 - np.einsum("scj,sjc->sc", B, sol[:, :, 1:])
     np.testing.assert_allclose(f, f_ref, rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(v, v_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_inv3_matches_numpy():
+    from slam_tpu.ops.linalg import inv3
+    rng = np.random.default_rng(3)
+    # SPD batch (the EKF innovation-covariance shape) + a generic batch
+    A = rng.normal(size=(64, 3, 3)).astype(np.float32)
+    spd = A @ np.swapaxes(A, 1, 2) + 10.0 * np.eye(3, dtype=np.float32)
+    got = np.asarray(inv3(jnp.array(spd)))
+    ref = np.linalg.inv(spd.astype(np.float64))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+    gen = A + 3.0 * np.eye(3, dtype=np.float32)
+    got = np.asarray(inv3(jnp.array(gen)))
+    ref = np.linalg.inv(gen.astype(np.float64))
+    np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-4)
