@@ -43,6 +43,19 @@ def se2_apply(pose: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([qx, qy], axis=-1)
 
 
+def se2_apply_xy(pose: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray):
+    """Planar SE(2) apply: x/y planes (..., N) -> (qx, qy) planes.
+
+    The stacked form (se2_apply) forces (..., N, 1) reshape/stack boundaries
+    that XLA materializes with the minor dim lane-padded to 128 — ~3.6 ms/tick
+    of pure padding traffic at batch 1024. Planes stay rank-2 and clean."""
+    c, s = jnp.cos(pose[..., 2]), jnp.sin(pose[..., 2])
+    x, y = pose[..., 0], pose[..., 1]
+    qx = c[..., None] * px - s[..., None] * py + x[..., None]
+    qy = s[..., None] * px + c[..., None] * py + y[..., None]
+    return qx, qy
+
+
 def se2_compose(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """a ∘ b for poses [x, y, yaw]: first apply b, then a."""
     ca, sa = jnp.cos(a[..., 2]), jnp.sin(a[..., 2])

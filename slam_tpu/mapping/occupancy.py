@@ -98,6 +98,28 @@ def add_to_occupancy(grid: OccupancyGrid, obstacle: PointCloud,
     return grid.replace(counts=counts, drivable=drivable)
 
 
+def add_to_occupancy_xy(grid: OccupancyGrid, lx: jnp.ndarray, ly: jnp.ndarray,
+                        valid: jnp.ndarray, cfg: MlsConfig) -> OccupancyGrid:
+    """Planar obstacle-only occupancy update — the 2D fused path (its ground
+    cloud is empty, so the ground decrement never fires; see add_to_occupancy
+    for the full obstacle+ground form). lx/ly are robot-centered
+    world-oriented planes (N,)."""
+    from slam_tpu.ops.scatter2d import scatter_add_2d_multi
+
+    H, W = grid.counts.shape
+    x = jnp.floor(lx / cfg.resolution).astype(jnp.int32) + cfg.size_x // 2
+    y = jnp.floor(ly / cfg.resolution).astype(jnp.int32) + cfg.size_y // 2
+    keep = valid & (lx * lx + ly * ly <= cfg.max_range * cfg.max_range)
+    (touch,) = scatter_add_2d_multi(x, y, (None,), keep, (H, W))
+    counts = grid.counts + touch * cfg.occupancy_increment
+    touched = touch > 0
+    occupied = touched & (counts > cfg.min_cluster_points)
+    free = touched & (counts < cfg.min_cluster_points)
+    drivable = jnp.where(occupied, jnp.int8(0),
+                         jnp.where(free, jnp.int8(1), grid.drivable))
+    return grid.replace(counts=counts, drivable=drivable)
+
+
 def occupancy_cloud(grid: OccupancyGrid, cfg: MlsConfig,
                     capacity: int) -> PointCloud:
     """Export occupied-cell centers as an obstacle cloud in world frame — the

@@ -95,9 +95,39 @@ def update_point_map(grid: PointMapGrid, xyz_world: jnp.ndarray,
     )
 
 
-def export_points(grid: PointMapGrid, capacity: int, min_count: float = 1.0,
-                  ga_threshold: int = 2) -> PointCloud:
-    """Occupied-cell centroids as a masked cloud with GA flags.
+def update_point_map_xy(grid: PointMapGrid, qx: jnp.ndarray, qy: jnp.ndarray,
+                        qz, valid: jnp.ndarray,
+                        resolution: float | None = None) -> PointMapGrid:
+    """Planar update: world x/y planes (N,), optional z plane (None for the
+    2D path, whose z is identically 0 — sum_z then passes through untouched,
+    saving a full grid read-modify-write per tick). Equivalent to
+    update_point_map on stacked xyz; planes avoid the lane-padded (N, small)
+    stack layouts (see se2_apply_xy)."""
+    from slam_tpu.ops.scatter2d import scatter_add_2d_multi
+
+    G = grid.count.shape[0]
+    resolution = resolution or grid.resolution
+    rx = qx - grid.center[0]
+    ry = qy - grid.center[1]
+    cx = jnp.floor(rx / resolution).astype(jnp.int32) + G // 2
+    cy = jnp.floor(ry / resolution).astype(jnp.int32) + G // 2
+    ox = rx - (cx.astype(rx.dtype) - G // 2 + 0.5) * resolution
+    oy = ry - (cy.astype(ry.dtype) - G // 2 + 0.5) * resolution
+    chans = (None, ox, oy) + (() if qz is None else (qz,))
+    acc = scatter_add_2d_multi(cx, cy, chans, valid, (G, G))
+    return grid.replace(
+        count=grid.count + acc[0],
+        sum_x=grid.sum_x + acc[1],
+        sum_y=grid.sum_y + acc[2],
+        sum_z=grid.sum_z if qz is None else grid.sum_z + acc[3],
+    )
+
+
+def export_point_planes(grid: PointMapGrid, capacity: int,
+                        min_count: float = 1.0, ga_threshold: int = 2):
+    """Occupied-cell centroids as (x, y, z, ga, valid) planes — the hot-path
+    form (planes avoid the lane-padded (N, 3) stack; see
+    geometry.se2_apply_xy). export_points packs these into a PointCloud.
 
     GA per cell = >= ga_threshold empty 8-neighbors (interior cells only),
     the classifyPoints rule (icpTools.cpp:63-102) evaluated on this grid.
@@ -138,9 +168,18 @@ def export_points(grid: PointMapGrid, capacity: int, min_count: float = 1.0,
     cnt = jnp.maximum(out[:, 0], 1.0)
     ctr_x = (ci - G // 2 + 0.5) * resolution + grid.center[0]
     ctr_y = (cj - G // 2 + 0.5) * resolution + grid.center[1]
-    xyz = jnp.stack([ctr_x + out[:, 1] / cnt,
-                     ctr_y + out[:, 2] / cnt,
-                     out[:, 3] / cnt], axis=-1)
-    flags = jnp.where(out[:, 4] > 0.5, PointCloud.FLAG_GA, 0)
-    return PointCloud(xyz=jnp.where(sel[:, None], xyz, 0.0), valid=sel,
-                      flags=jnp.where(sel, flags, 0).astype(jnp.int32))
+    x = jnp.where(sel, ctr_x + out[:, 1] / cnt, 0.0)
+    y = jnp.where(sel, ctr_y + out[:, 2] / cnt, 0.0)
+    z = jnp.where(sel, out[:, 3] / cnt, 0.0)
+    ga_pt = sel & (out[:, 4] > 0.5)
+    return x, y, z, ga_pt, sel
+
+
+def export_points(grid: PointMapGrid, capacity: int, min_count: float = 1.0,
+                  ga_threshold: int = 2) -> PointCloud:
+    """export_point_planes packed into the PointCloud container."""
+    x, y, z, ga_pt, sel = export_point_planes(grid, capacity, min_count,
+                                              ga_threshold)
+    xyz = jnp.stack([x, y, z], axis=-1)
+    flags = jnp.where(ga_pt, PointCloud.FLAG_GA, 0).astype(jnp.int32)
+    return PointCloud(xyz=xyz, valid=sel, flags=flags)

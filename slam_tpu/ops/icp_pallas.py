@@ -52,7 +52,30 @@ def _icp_kernel(max_iter: int, inlier_dist: float, min_delta: float,
     mx = jnp.transpose(m_ref[0][:, 0:1])   # (1, C)
     my = jnp.transpose(m_ref[0][:, 1:2])
     mc = jnp.transpose(m_ref[0][:, 2:3])   # class: 0/1, 2 = invalid
+    _icp_core(max_iter, inlier_dist, min_delta, min_scene,
+              sx, sy, sc, mx, my, mc, init_ref, out_ref)
 
+
+def _icp_kernel_planes(max_iter: int, inlier_dist: float, min_delta: float,
+                       min_scene: int, sx_ref, sy_ref, sc_ref,
+                       mx_ref, my_ref, mc_ref, init_ref, out_ref):
+    """Plane operands: scene/model coordinates arrive as six (1, N) rows —
+    the layouts XLA stores (B, N) arrays in natively, so no packed (B, N, 3)
+    arrays (lane-padded 42x in HBM) are ever materialized, and the model rows
+    are already the (1, C) lane vectors the distance tile wants (zero
+    in-kernel transposes on the large side; the three scene rows transpose
+    to (S, 1) columns once per call)."""
+    sx = jnp.transpose(sx_ref[0])    # (1, S) -> (S, 1)
+    sy = jnp.transpose(sy_ref[0])
+    sc = jnp.transpose(sc_ref[0])
+    _icp_core(max_iter, inlier_dist, min_delta, min_scene,
+              sx, sy, sc, mx_ref[0], my_ref[0], mc_ref[0],
+              init_ref, out_ref)
+
+
+def _icp_core(max_iter: int, inlier_dist: float, min_delta: float,
+              min_scene: int, sx, sy, sc, mx, my, mc, init_ref, out_ref):
+    """Shared fit loop: sx/sy/sc are (S, 1) columns, mx/my/mc (1, C) rows."""
     m_ga = jnp.sum(jnp.where(mc == 1.0, 1.0, 0.0))
     m_nga = jnp.sum(jnp.where(mc == 0.0, 1.0, 0.0))
     n_scene = jnp.sum(jnp.where(sc >= 0.0, 1.0, 0.0))
@@ -197,6 +220,91 @@ def _icp_batched(s3, m3, init, cfg: IcpConfig):
         delta=out[:, 7],
         mean_residual=out[:, 6],
     )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _icp_batched_planes(sx, sy, sc, mx, my, mc, init, cfg: IcpConfig):
+    """Plane-operand batched call: sx/sy/sc (B, S), mx/my/mc (B, C) f32
+    (classes pre-encoded: scene -1 pad/0 NGA/1 GA; model 0/1, 2 invalid);
+    init (B, 3) [x, y, yaw]."""
+    B, S = sx.shape
+    C = mx.shape[1]
+
+    kern = functools.partial(
+        _icp_kernel_planes, cfg.max_iterations, cfg.inlier_dist,
+        cfg.min_delta, cfg.min_scene_points)
+
+    # planes ride as (B, 1, N) — 2D blocks with a size-1 sublane dim violate
+    # the (8, 128)-divisibility rule, but a leading block dim of 1 that equals
+    # the array dim is allowed (the reshape is layout-free)
+    def row(n):
+        return pl.BlockSpec((1, 1, n), lambda b: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    i_spec = pl.BlockSpec((1, 1, 4), lambda b: (b, 0, 0),
+                          memory_space=pltpu.SMEM)
+    o_spec = pl.BlockSpec((1, 1, 8), lambda b: (b, 0, 0),
+                          memory_space=pltpu.VMEM)
+
+    init4 = jnp.stack([init[:, 0], init[:, 1],
+                       jnp.cos(init[:, 2]), jnp.sin(init[:, 2])], axis=-1)
+
+    out = pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=[row(S), row(S), row(S), row(C), row(C), row(C), i_spec],
+        out_specs=o_spec,
+        out_shape=jax.ShapeDtypeStruct((B, 1, 8), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
+    )(sx[:, None], sy[:, None], sc[:, None],
+      mx[:, None], my[:, None], mc[:, None], init4[:, None, :])
+
+    out = out[:, 0]
+    pose = jnp.stack([out[:, 0], out[:, 1],
+                      jnp.arctan2(out[:, 3], out[:, 2])], axis=-1)
+    return IcpResult(
+        pose=pose,
+        ok=(out[:, 4] > 0.5) & (out[:, 5] > 0),
+        num_corr=out[:, 5].astype(jnp.int32),
+        delta=out[:, 7],
+        mean_residual=out[:, 6],
+    )
+
+
+def encode_scene_class(valid, ga):
+    """Scene class plane: -1 pad/invalid, 0 NGA, 1 GA (f32)."""
+    return jnp.where(valid, jnp.where(ga, 1.0, 0.0), -1.0)
+
+
+def encode_model_class(valid, ga):
+    """Model class plane: 0 NGA, 1 GA, 2 invalid (f32)."""
+    return jnp.where(valid, jnp.where(ga, 1.0, 0.0), 2.0)
+
+
+@functools.lru_cache(maxsize=None)
+def make_icp_fused_planes(cfg: IcpConfig):
+    """Plane-operand fused ICP: (sx, sy, s_class, mx, my, m_class, init) with
+    classes from encode_{scene,model}_class. custom_vmap'd like
+    make_icp_fused so jax.vmap maps onto the kernel's batch grid."""
+
+    @jax.custom_batching.custom_vmap
+    def icp_fused_planes(sx, sy, sc, mx, my, mc, init_pose):
+        r = _icp_batched_planes(sx[None], sy[None], sc[None], mx[None],
+                                my[None], mc[None], init_pose[None], cfg)
+        return jax.tree.map(lambda x: x[0], r)
+
+    @icp_fused_planes.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        def bcast(x, b):
+            return x if b else jnp.broadcast_to(x[None],
+                                                (axis_size,) + x.shape)
+
+        sx, sy, sc, mx, my, mc, init_pose = (
+            bcast(a, b) for a, b in zip(args, in_batched))
+        r = _icp_batched_planes(sx, sy, sc, mx, my, mc, init_pose, cfg)
+        return r, jax.tree.map(lambda _: True, r)
+
+    return icp_fused_planes
 
 
 def _pack3(xy, valid, ga, invalid_code):

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from slam_tpu.config import SlamConfig
 from slam_tpu.geometry import angle_wrap, se2_apply
-from slam_tpu.mapping.occupancy import (add_to_occupancy, init_occupancy,
+from slam_tpu.mapping.occupancy import (add_to_occupancy_xy, init_occupancy,
                                         shift_origin)
 from slam_tpu.models import ekf as ekf_mod
 from slam_tpu.ops.classify import classify_ground_adjacent
@@ -69,46 +69,51 @@ def init_state(key: jnp.ndarray, cfg: SlamConfig,
     )
 
 
-def build_scene(scan_xyz: jnp.ndarray, hit: jnp.ndarray,
-                cfg: SlamConfig) -> PointCloud:
+def build_scene_planes(px: jnp.ndarray, py: jnp.ndarray, hit: jnp.ndarray,
+                       cfg: SlamConfig):
     """CCICP::setSceneCloud for the 2D path (icpTools.cpp:611-634): voxel
     downsample at the GA grid's 0.5 m resolution + ground-adjacency flags
-    (classifyPoints stencil).
+    (classifyPoints stencil). Planar form: x/y planes in, (sx, sy, ga, keep)
+    planes out, padded to scene_capacity — no (N, small) stacks anywhere
+    (see geometry.se2_apply_xy for why).
 
     A scan has <= scan_capacity points, so voxelization is a same-cell
     pairwise (N, N) matmul — exact per-cell centroids with first-point-keeps
     dedupe, no sort/top-k (grid export cost ~12 ms/step at batch 1024).
     GA flags come from a count raster + banded stencil + one matmul-gather."""
-    from slam_tpu.ops.scatter2d import gather_cells_2d, scatter_add_2d
+    from slam_tpu.ops.scatter2d import gather_cells_2d, scatter_add_2d_multi
     from slam_tpu.ops.stencil import neighbor_sum_2d
 
     res = cfg.icp.ga_resolution
     G = cfg.icp.ga_num_bins
-    xy = scan_xyz[..., :2]
-    ci = jnp.floor(xy[:, 0] / res).astype(jnp.int32) + G // 2
-    cj = jnp.floor(xy[:, 1] / res).astype(jnp.int32) + G // 2
+    ci = jnp.floor(px / res).astype(jnp.int32) + G // 2
+    cj = jnp.floor(py / res).astype(jnp.int32) + G // 2
     inb = hit & (ci >= 0) & (cj >= 0) & (ci < G) & (cj < G)
     cell = jnp.where(inb, ci * G + cj, -1)
 
     # same-cell incidence: M[n, m] = both valid and in the same cell
     same = (cell[:, None] == cell[None, :]) & inb[:, None] & inb[None, :]
     Mf = same.astype(jnp.float32)
-    count = jnp.sum(Mf, axis=1)
+    count = jnp.maximum(jnp.sum(Mf, axis=1), 1.0)
     # first-in-cell keeps the slot (dedupe); the rest are masked out
     n_idx = jnp.arange(cell.shape[0], dtype=jnp.int32)
     first_m = jnp.min(jnp.where(same, n_idx[None, :], cell.shape[0]), axis=1)
     keep = inb & (first_m == n_idx)
 
     # exact per-cell centroid: cell center + mean of cell-relative offsets
-    cc = (jnp.stack([ci, cj], -1).astype(xy.dtype) - G // 2 + 0.5) * res
-    rel = jnp.where(inb[:, None], xy - cc, 0.0)
-    mean_rel = jnp.matmul(Mf, rel, precision=jax.lax.Precision.DEFAULT) \
-        / jnp.maximum(count, 1.0)[:, None]
-    cx = cc + mean_rel
+    ccx = (ci.astype(px.dtype) - G // 2 + 0.5) * res
+    ccy = (cj.astype(py.dtype) - G // 2 + 0.5) * res
+    relx = jnp.where(inb, px - ccx, 0.0)
+    rely = jnp.where(inb, py - ccy, 0.0)
+    # DEFAULT (bf16) precision is exact enough here: offsets are cell-relative
+    # (bounded +-res/2), matching the stacked implementation's choice
+    prec = jax.lax.Precision.DEFAULT
+    sx = ccx + jnp.einsum("nm,m->n", Mf, relx, precision=prec) / count
+    sy = ccy + jnp.einsum("nm,m->n", Mf, rely, precision=prec) / count
 
     # GA classification on the occupancy raster (classifyPoints rule)
-    counts = scatter_add_2d(ci, cj, jnp.ones(cell.shape + (1,)), inb,
-                            (G, G))[..., 0]
+    (counts,) = scatter_add_2d_multi(ci, cj, (None,), inb, (G, G),
+                                     precision=prec)
     occ = counts > 0
     box = neighbor_sum_2d((~occ).astype(jnp.float32))
     ii = jnp.arange(G)
@@ -118,19 +123,35 @@ def build_scene(scan_xyz: jnp.ndarray, hit: jnp.ndarray,
     ga = gather_cells_2d(ga_grid.astype(jnp.float32)[..., None],
                          ci, cj)[:, 0] > 0.5
 
-    xyz = jnp.concatenate([cx, jnp.zeros_like(cx[:, :1])], axis=-1)
-    flags = jnp.where(ga & keep, PointCloud.FLAG_GA, 0).astype(jnp.int32)
+    ga = ga & keep
     # pad/crop to the configured scene capacity (static shape contract)
     cap = cfg.cloud.scene_capacity
-    n = xyz.shape[0]
+    n = px.shape[0]
     if n < cap:
-        xyz = jnp.pad(xyz, ((0, cap - n), (0, 0)))
-        keep = jnp.pad(keep, (0, cap - n))
-        flags = jnp.pad(flags, (0, cap - n))
+        pad = cap - n
+        sx, sy = jnp.pad(sx, (0, pad)), jnp.pad(sy, (0, pad))
+        keep, ga = jnp.pad(keep, (0, pad)), jnp.pad(ga, (0, pad))
     elif n > cap:
-        xyz, keep, flags = xyz[:cap], keep[:cap], flags[:cap]
-    return PointCloud(xyz=jnp.where(keep[:, None], xyz, 0.0), valid=keep,
-                      flags=flags)
+        sx, sy, keep, ga = sx[:cap], sy[:cap], keep[:cap], ga[:cap]
+    sx = jnp.where(keep, sx, 0.0)
+    sy = jnp.where(keep, sy, 0.0)
+    return sx, sy, ga, keep
+
+
+def planes_to_cloud(sx, sy, ga, keep, sz=None) -> PointCloud:
+    """Pack planes into the PointCloud container (state carry / cloud APIs)."""
+    z = jnp.zeros_like(sx) if sz is None else sz
+    xyz = jnp.stack([sx, sy, z], axis=-1)
+    flags = jnp.where(ga, PointCloud.FLAG_GA, 0).astype(jnp.int32)
+    return PointCloud(xyz=xyz, valid=keep, flags=flags)
+
+
+def build_scene(scan_xyz: jnp.ndarray, hit: jnp.ndarray,
+                cfg: SlamConfig) -> PointCloud:
+    """Cloud-in/cloud-out wrapper over build_scene_planes (compat API)."""
+    sx, sy, ga, keep = build_scene_planes(
+        scan_xyz[..., 0], scan_xyz[..., 1], hit, cfg)
+    return planes_to_cloud(sx, sy, ga, keep)
 
 
 def register_scan(scene: PointCloud, map_cloud: PointCloud,
@@ -191,7 +212,8 @@ def update_map_cloud(map_cloud: PointCloud, scene: PointCloud,
 
 def slam_step(state: SlamState, world: World2D, cfg: SlamConfig,
               incremental_map: bool = True, field=None,
-              refresh_map: bool = True, shift_maps: bool = True) -> SlamState:
+              refresh_map: bool = True, shift_maps: bool = True,
+              target_planes=None) -> SlamState:
     """One full SLAM tick. Pure; jit/vmap/shard_map friendly.
 
     incremental_map: fold each registered scene into the map target (the
@@ -212,13 +234,15 @@ def slam_step(state: SlamState, world: World2D, cfg: SlamConfig,
     cmd = ekf_mod.clamp_cmd(cmd, cfg.ekf)
     true2 = world2d.unicycle_step(state.true_pose[:3], cmd, dt)
     ranges, hit = world2d.raycast(world, true2, cfg.sim, noise_key=k_noise)
-    scan_xyz, hit = world2d.scan_to_points(ranges, hit, cfg.sim)
+    scan_x, scan_y, hit = world2d.scan_to_planes(ranges, hit)
     gyro = cmd[2] + cfg.sim.gyro_bias + cfg.sim.gyro_noise * \
         jax.random.normal(k_gyro)
 
-    state = process_frame(state, scan_xyz, hit, gyro, cmd, cfg,
-                          incremental_map=incremental_map, field=field,
-                          refresh_map=refresh_map, shift_maps=shift_maps)
+    state = process_frame_planes(
+        state, scan_x, scan_y, hit, gyro, cmd, cfg,
+        incremental_map=incremental_map, field=field,
+        refresh_map=refresh_map, shift_maps=shift_maps,
+        target_planes=target_planes)
     return state.replace(true_pose=jnp.concatenate([true2, jnp.zeros(1)]),
                          rng=key)
 
@@ -241,6 +265,27 @@ def process_frame(state: SlamState, scan_xyz, hit, gyro, cmd,
                   shift_maps: bool = True) -> SlamState:
     """Sensor frame -> updated SLAM state (the fused node graph minus the
     simulator): EKF predict/gyro -> scene -> registration -> fuse -> maps."""
+    return process_frame_planes(
+        state, scan_xyz[..., 0], scan_xyz[..., 1], hit, gyro, cmd, cfg,
+        incremental_map=incremental_map, field=field,
+        refresh_map=refresh_map, shift_maps=shift_maps)
+
+
+def process_frame_planes(state: SlamState, scan_x, scan_y, hit, gyro, cmd,
+                         cfg: SlamConfig, incremental_map: bool = True,
+                         field=None, refresh_map: bool = True,
+                         shift_maps: bool = True,
+                         target_planes=None) -> SlamState:
+    """process_frame on x/y scan planes — the hot-path form. Point data stays
+    planar (rank-2 under vmap) through scene build, transform, and grid
+    updates; (N, small)-stacked arrays lane-pad their minor dim to 128 on TPU
+    and were ~10 ms/tick of pure padding traffic at batch 1024.
+
+    target_planes: optional (mx, my, mga, mvalid) scan-to-map target planes
+    (export_point_planes) — the rollout refreshes them at macro boundaries;
+    None falls back to slicing state.map_cloud."""
+    from slam_tpu.geometry import se2_apply_xy
+
     dt = cfg.sim.dt
 
     # --- EKF predict + gyro update (nasa_ekf.cpp:421-446 order) ---
@@ -249,7 +294,8 @@ def process_frame(state: SlamState, scan_xyz, hit, gyro, cmd,
     pred = jnp.stack([ekf.mu[0], ekf.mu[1], ekf.mu[6]])
 
     # --- scene build + scan registration ---
-    scene = build_scene(scan_xyz, hit, cfg)
+    sx, sy, sga, skeep = build_scene_planes(scan_x, scan_y, hit, cfg)
+    scene = planes_to_cloud(sx, sy, sga, skeep)
     matcher = cfg.icp.matcher
     if matcher == "fused" and jax.default_backend() != "tpu":
         matcher = "points"
@@ -262,11 +308,23 @@ def process_frame(state: SlamState, scan_xyz, hit, gyro, cmd,
         icp = icp_fit_grid(scene.xyz[..., :2], scene.valid, scene.is_ga(),
                            field, pred, cfg.icp)
     elif incremental_map and matcher == "fused":
-        from slam_tpu.ops.icp_pallas import make_icp_fused
-        target = crop_box(state.map_cloud, pred[:2], cfg.icp.crop_dist)
-        icp = make_icp_fused(cfg.icp)(
-            scene.xyz[..., :2], scene.valid, scene.is_ga(),
-            target.xyz[..., :2], target.valid, target.is_ga(), pred)
+        from slam_tpu.ops.icp_pallas import (encode_model_class,
+                                             encode_scene_class,
+                                             make_icp_fused_planes)
+        if target_planes is None:
+            mpx = state.map_cloud.xyz[..., 0]
+            mpy = state.map_cloud.xyz[..., 1]
+            mga = state.map_cloud.is_ga()
+            mvalid = state.map_cloud.valid
+        else:
+            mpx, mpy, mga, mvalid = target_planes
+        # crop_box on planes (the +-crop_dist PassThrough, icpTools.cpp:226)
+        d = cfg.icp.crop_dist
+        inb = mvalid & (jnp.abs(mpx - pred[0]) <= d) & \
+            (jnp.abs(mpy - pred[1]) <= d)
+        icp = make_icp_fused_planes(cfg.icp)(
+            sx, sy, encode_scene_class(skeep, sga),
+            mpx, mpy, encode_model_class(inb, mga), pred)
     else:
         icp = register_scan(scene, state.map_cloud, pred, cfg,
                             reclassify=not incremental_map)
@@ -283,16 +341,17 @@ def process_frame(state: SlamState, scan_xyz, hit, gyro, cmd,
     if incremental_map:
         from slam_tpu.mapping.point_map import (export_points,
                                                 shift_point_map,
-                                                update_point_map)
+                                                update_point_map_xy)
         res = cfg.icp.voxel_leaf_obs[0]
         map_pose = jnp.where(icp.ok, icp.pose, pred)
-        world_xy = se2_apply(map_pose, scene.xyz[..., :2])
-        world_xyz = jnp.concatenate([world_xy, scene.xyz[..., 2:]], axis=-1)
+        qx, qy = se2_apply_xy(map_pose, sx, sy)
         # rolling shifts are dynamic rolls (~15 ms/tick at batch 1024); the
         # robot moves <1 cell per tick, so the rollout shifts once per macro
         mg = shift_point_map(state.map_grid, fused[:2], res) \
             if shift_maps else state.map_grid
-        mg = update_point_map(mg, world_xyz, scene.valid, res)
+        # z plane is None: the 2D scene is planar, so the sum_z accumulator
+        # passes through untouched (saves a grid RMW per tick)
+        mg = update_point_map_xy(mg, qx, qy, None, skeep, res)
         if refresh_map:
             map_cloud = export_points(mg, state.map_cloud.capacity,
                                       ga_threshold=cfg.icp.ga_threshold)
@@ -309,11 +368,10 @@ def process_frame(state: SlamState, scan_xyz, hit, gyro, cmd,
         if shift_maps else state.local_map
     yaw_only = jnp.stack([fused[0] - grid.center[0],
                           fused[1] - grid.center[1], fused[2]])
-    local_xy = se2_apply(yaw_only, scene.xyz[..., :2])
-    local_cloud = scene.replace(
-        xyz=jnp.concatenate([local_xy, scene.xyz[..., 2:]], axis=-1))
-    empty_ground = make_cloud(1)
-    grid = add_to_occupancy(grid, local_cloud, empty_ground, cfg.mls)
+    lx, ly = se2_apply_xy(yaw_only, sx, sy)
+    # the 2D path has no ground cloud, so the planar obstacle-only form
+    # applies (the stacked path concatenated an empty dummy ground cloud)
+    grid = add_to_occupancy_xy(grid, lx, ly, skeep, cfg.mls)
 
     return state.replace(
         ekf=ekf,
@@ -337,7 +395,6 @@ def rollout(state: SlamState, world: World2D, cfg: SlamConfig, num_steps: int,
     every `field_every` ticks — the reference's cadence (scan-reg targets
     update at graph_slam's 10 Hz, not per scan). num_steps rounds up to a
     multiple."""
-    from slam_tpu.mapping.point_map import export_points
     num_macro = -(-num_steps // field_every)
     use_grid = cfg.icp.matcher == "grid"
     if use_grid:
@@ -345,13 +402,17 @@ def rollout(state: SlamState, world: World2D, cfg: SlamConfig, num_steps: int,
 
     def macro(s, _):
         field = None
+        planes = None
         if use_grid:
             field = nearest_point_field(s.map_grid, cfg.icp.voxel_leaf_obs[0],
                                         cfg.icp.ga_threshold)
         else:
-            s = s.replace(map_cloud=export_points(
+            from slam_tpu.mapping.point_map import export_point_planes
+            ex, ey, ez, ega, evalid = export_point_planes(
                 s.map_grid, s.map_cloud.capacity,
-                ga_threshold=cfg.icp.ga_threshold))
+                ga_threshold=cfg.icp.ga_threshold)
+            planes = (ex, ey, ega, evalid)
+            s = s.replace(map_cloud=planes_to_cloud(ex, ey, ega, evalid, ez))
 
         # re-center rolling maps once per macro (robot motion per macro is
         # ~1 cell); ticks then skip the dynamic rolls
@@ -362,7 +423,7 @@ def rollout(state: SlamState, world: World2D, cfg: SlamConfig, num_steps: int,
 
         def tick(ss, _):
             ss = slam_step(ss, world, cfg, field=field, refresh_map=False,
-                           shift_maps=False)
+                           shift_maps=False, target_planes=planes)
             return ss, (ss.pose[:3], ss.true_pose[:3])
 
         return jax.lax.scan(tick, s, None, length=field_every)

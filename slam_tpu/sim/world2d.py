@@ -95,6 +95,14 @@ def scan_to_points(ranges: jnp.ndarray, hit: jnp.ndarray, cfg: SimConfig,
     return jnp.stack([x, y, jnp.zeros_like(x)], axis=-1), hit
 
 
+def scan_to_planes(ranges: jnp.ndarray, hit: jnp.ndarray):
+    """Planar scan_to_points (sensor frame): (x, y) planes, no (N, 3) stack
+    (whose minor dim XLA lane-pads to 128 — see geometry.se2_apply_xy)."""
+    B = ranges.shape[-1]
+    rel = jnp.arange(B) * (2 * jnp.pi / B)
+    return ranges * jnp.cos(rel), ranges * jnp.sin(rel), hit
+
+
 def drive_cmd(step: jnp.ndarray, dt: float) -> jnp.ndarray:
     """Deterministic smooth drive pattern: a wavy loop that exercises both
     translation and rotation (the reference's WPI-course trajectory analogue,
