@@ -120,6 +120,34 @@ def add_to_occupancy_xy(grid: OccupancyGrid, lx: jnp.ndarray, ly: jnp.ndarray,
     return grid.replace(counts=counts, drivable=drivable)
 
 
+def add_to_occupancy_xy2(grid: OccupancyGrid, ox, oy, ovalid, gx, gy, gvalid,
+                         cfg: MlsConfig) -> OccupancyGrid:
+    """Planar obstacle+ground occupancy update (mls.cpp:59-150): +increment
+    per obstacle point, -decrement per ground point. Planes are robot-
+    centered world-oriented; rank-1 concatenation is cheap (unlike the
+    stacked form's (N, 2) value matrix)."""
+    from slam_tpu.ops.scatter2d import scatter_add_2d_multi
+
+    H, W = grid.counts.shape
+    lx = jnp.concatenate([ox, gx])
+    ly = jnp.concatenate([oy, gy])
+    sign = jnp.concatenate([
+        jnp.full(ox.shape, cfg.occupancy_increment, grid.counts.dtype),
+        jnp.full(gx.shape, -cfg.occupancy_decrement, grid.counts.dtype)])
+    x = jnp.floor(lx / cfg.resolution).astype(jnp.int32) + cfg.size_x // 2
+    y = jnp.floor(ly / cfg.resolution).astype(jnp.int32) + cfg.size_y // 2
+    keep = jnp.concatenate([ovalid, gvalid]) & \
+        (lx * lx + ly * ly <= cfg.max_range * cfg.max_range)
+    delta, touch = scatter_add_2d_multi(x, y, (sign, None), keep, (H, W))
+    counts = grid.counts + delta
+    touched = touch > 0
+    occupied = touched & (counts > cfg.min_cluster_points)
+    free = touched & (counts < cfg.min_cluster_points)
+    drivable = jnp.where(occupied, jnp.int8(0),
+                         jnp.where(free, jnp.int8(1), grid.drivable))
+    return grid.replace(counts=counts, drivable=drivable)
+
+
 def occupancy_cloud(grid: OccupancyGrid, cfg: MlsConfig,
                     capacity: int) -> PointCloud:
     """Export occupied-cell centers as an obstacle cloud in world frame — the

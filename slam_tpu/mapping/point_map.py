@@ -97,7 +97,8 @@ def update_point_map(grid: PointMapGrid, xyz_world: jnp.ndarray,
 
 def update_point_map_xy(grid: PointMapGrid, qx: jnp.ndarray, qy: jnp.ndarray,
                         qz, valid: jnp.ndarray,
-                        resolution: float | None = None) -> PointMapGrid:
+                        resolution: float | None = None,
+                        z_precision=None) -> PointMapGrid:
     """Planar update: world x/y planes (N,), optional z plane (None for the
     2D path, whose z is identically 0 — sum_z then passes through untouched,
     saving a full grid read-modify-write per tick). Equivalent to
@@ -114,7 +115,9 @@ def update_point_map_xy(grid: PointMapGrid, qx: jnp.ndarray, qy: jnp.ndarray,
     ox = rx - (cx.astype(rx.dtype) - G // 2 + 0.5) * resolution
     oy = ry - (cy.astype(ry.dtype) - G // 2 + 0.5) * resolution
     chans = (None, ox, oy) + (() if qz is None else (qz,))
-    acc = scatter_add_2d_multi(cx, cy, chans, valid, (G, G))
+    precs = None if qz is None else (None, None, None, z_precision)
+    acc = scatter_add_2d_multi(cx, cy, chans, valid, (G, G),
+                               precisions=precs)
     return grid.replace(
         count=grid.count + acc[0],
         sum_x=grid.sum_x + acc[1],

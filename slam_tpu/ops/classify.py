@@ -15,6 +15,32 @@ import jax.numpy as jnp
 from slam_tpu.types import PointCloud
 
 
+def classify_ga_planes(px, py, valid, center_xy, num_bins: int,
+                       resolution: float, threshold: int = 2):
+    """Planar classify_ground_adjacent: x/y planes -> GA plane (N,) bool.
+
+    Count raster + 3x3 stencil + one matmul-gather (the stacked version's
+    per-point `ga_bin.reshape(-1)[flat]` gather serializes on TPU)."""
+    from slam_tpu.ops.scatter2d import gather_cells_2d, scatter_add_2d_multi
+    from slam_tpu.ops.stencil import neighbor_sum_2d
+
+    B = num_bins
+    bx = jnp.floor((px - center_xy[0]) / resolution).astype(jnp.int32) + B // 2
+    by = jnp.floor((py - center_xy[1]) / resolution).astype(jnp.int32) + B // 2
+    inb = (bx >= 0) & (by >= 0) & (bx < B) & (by < B) & valid
+    (counts,) = scatter_add_2d_multi(bx, by, (None,), inb, (B, B))
+    empty = (counts == 0).astype(jnp.float32)
+    box = neighbor_sum_2d(empty)
+    ii = jnp.arange(B)
+    interior = ((ii > 0) & (ii < B - 1))[:, None] & \
+        ((ii > 0) & (ii < B - 1))[None, :]
+    ga_bin = (box >= threshold) & interior & (counts > 0)
+    ga_pt = gather_cells_2d(ga_bin.astype(jnp.float32)[..., None],
+                            jnp.clip(bx, 0, B - 1),
+                            jnp.clip(by, 0, B - 1))[:, 0] > 0.5
+    return ga_pt & inb
+
+
 def classify_ground_adjacent(
     cloud: PointCloud,
     center_xy: jnp.ndarray,
@@ -31,27 +57,9 @@ def classify_ground_adjacent(
     edge-bin points, icpTools.cpp:72-77; masking out would lose points, so we
     classify them NGA — only affects points >=half-extent away).
     """
-    from slam_tpu.ops.scatter2d import scatter_add_2d
-
-    B = num_bins
-    rel = cloud.xyz[..., :2] - center_xy
-    bx = jnp.floor(rel[..., 0] / resolution).astype(jnp.int32) + B // 2
-    by = jnp.floor(rel[..., 1] / resolution).astype(jnp.int32) + B // 2
-    inb = (bx >= 0) & (by >= 0) & (bx < B) & (by < B) & cloud.valid
-
-    flat = jnp.where(inb, bx * B + by, B * B)
-    counts = scatter_add_2d(bx, by, jnp.ones(bx.shape + (1,)), inb,
-                            (B, B))[..., 0].astype(jnp.int32)
-
-    from slam_tpu.ops.stencil import neighbor_sum_2d
-    empty = (counts == 0).astype(jnp.float32)
-    box = neighbor_sum_2d(empty)  # 8-neighbor empty count
-    # interior test (icpTools.cpp:72): edge bins are not classified GA
-    ii = jnp.arange(B)
-    interior = ((ii > 0) & (ii < B - 1))[:, None] & ((ii > 0) & (ii < B - 1))[None, :]
-    ga_bin = (box >= threshold) & interior & (counts > 0)
-
-    ga_pt = jnp.where(inb, ga_bin.reshape(-1)[jnp.minimum(flat, B * B - 1)], False)
+    ga_pt = classify_ga_planes(cloud.xyz[..., 0], cloud.xyz[..., 1],
+                               cloud.valid, center_xy, num_bins, resolution,
+                               threshold)
     flags = jnp.where(ga_pt, cloud.flags | PointCloud.FLAG_GA,
                       cloud.flags & ~PointCloud.FLAG_GA)
     return cloud.replace(flags=flags)

@@ -70,31 +70,48 @@ def segment_ground(cloud: PointCloud, cfg: GroundSegConfig) -> GroundSegResult:
     ok = cloud.valid & (r3 < cfg.r_max) & (lbin >= 0) & (lbin < L)
     flat = jnp.where(ok, sector * L + lbin, S * L)
 
-    # --- per-bin stats: count + lowest-z prototype (exact, two-pass) ---
-    counts = jnp.zeros((S * L + 1,), jnp.int32).at[flat].add(
-        jnp.where(ok, 1, 0))
+    # --- per-bin stats via one (N, S*L) incidence matrix ---
+    # Native .at[].add/.at[].min scatters of N points into S*L+1 bins lower
+    # to serialized kCustom scatters (~8 ms/tick at batch 128); as masked
+    # reductions over the bin-incidence they are a few (N, S*L) VPU passes,
+    # and the same incidence drives the per-point table lookup matmul below.
+    inc = flat[:, None] == jnp.arange(S * L)[None, :]          # (N, K) bool
+    counts = jnp.sum(inc, axis=0, dtype=jnp.int32)             # (K,)
+    # lowest-z prototype; z quantized to mm so tie handling matches the
+    # reference's first-hit semantics exactly
+    imax = jnp.iinfo(jnp.int32).max
     zq = jnp.clip(jnp.round((z + 500.0) * 1000.0), 0, 2**30).astype(jnp.int32)
-    zq = jnp.where(ok, zq, jnp.iinfo(jnp.int32).max)
-    min_zq = jnp.full((S * L + 1,), jnp.iinfo(jnp.int32).max,
-                      jnp.int32).at[flat].min(zq)
-    is_proto = ok & (zq == min_zq[flat])
-    proto_idx = jnp.full((S * L + 1,), N, jnp.int32).at[flat].min(
-        jnp.where(is_proto, jnp.arange(N), N))
+    zq = jnp.where(ok, zq, imax)
+    min_zq = jnp.min(jnp.where(inc, zq[:, None], imax), axis=0)   # (K,)
+    # per-point lookup of its bin's min (exact: one-hot row sum); invalid
+    # rows read 0, which never equals their zq of INT32_MAX
+    min_at_pt = jnp.sum(jnp.where(inc, min_zq[None, :], 0), axis=1)
+    is_proto = ok & (zq == min_at_pt)
+    proto_idx = jnp.min(
+        jnp.where(inc & is_proto[:, None], jnp.arange(N)[:, None], N),
+        axis=0)                                                   # (K,)
 
-    bin_count = counts[: S * L].reshape(S, L)
-    pidx = proto_idx[: S * L].reshape(S, L)
-    safe_pidx = jnp.minimum(pidx, N - 1)
-    proto_r = jnp.where(pidx < N, r2[safe_pidx], 0.0)
-    proto_h = jnp.where(pidx < N, z[safe_pidx], 0.0)
+    bin_count = counts.reshape(S, L)
+    pidx = proto_idx.reshape(S, L)
+    # prototype coordinates via the chosen-point one-hot (r2[pidx]/z[pidx]
+    # index into the (N,) cloud — native row gathers serialize on TPU)
+    chosen = (inc & is_proto[:, None] &
+              (jnp.arange(N)[:, None] == proto_idx[None, :])).astype(z.dtype)
+    proto_r = jnp.sum(chosen * r2[:, None], axis=0).reshape(S, L)
+    proto_h = jnp.sum(chosen * z[:, None], axis=0).reshape(S, L)
     sig_valid = (pidx < N) & (bin_count > cfg.min_bin_points)  # :211
 
     # --- per-sector signal arrays, height-sorted, capacity C ---
     sort_key = jnp.where(sig_valid, proto_h, jnp.inf)
     order = jnp.argsort(sort_key, axis=1)[:, :C]                 # (S, C)
-    sl_h = jnp.take_along_axis(proto_h, order, axis=1)
-    sl_r = jnp.take_along_axis(proto_r, order, axis=1)
-    sl_valid = jnp.take_along_axis(sig_valid, order, axis=1)
-    sl_bin = order                                               # original bin
+    # slot gathers / scatter-backs as one-hot einsums over the permutation
+    # (take_along_axis rows serialize on TPU — ~4 ms/tick at batch 128; the
+    # (S, C, L) one-hot is 16k elements)
+    P = (order[:, :, None] == jnp.arange(L)[None, None, :]).astype(z.dtype)
+    sl_h = jnp.einsum("scl,sl->sc", P, proto_h)
+    sl_r = jnp.einsum("scl,sl->sc", P, proto_r)
+    sl_valid = jnp.einsum("scl,sl->sc", P,
+                          sig_valid.astype(z.dtype)) > 0.5
 
     # --- seeds (groundSegmentation.cpp:232-266) ---
     qual = sl_valid & (sl_r < cfg.seed_max_range) & \
@@ -145,26 +162,27 @@ def segment_ground(cloud: PointCloud, cfg: GroundSegConfig) -> GroundSegResult:
     (model, _, f_s, _), _ = jax.lax.scan(sweep, init, None,
                                          length=cfg.max_insac_sweeps)
 
-    # --- scatter sweep results back to (S, L) bins, then gather per point ---
-    rows = jnp.arange(S)[:, None]
-    bin_model = jnp.zeros((S, L), bool).at[rows, sl_bin].max(model & sl_valid)
-    bin_f = jnp.zeros((S, L), f_s.dtype).at[rows, sl_bin].add(
-        jnp.where(sl_valid, f_s, 0.0))
+    # --- scatter sweep results back to (S, L) bins (einsum over the same
+    # permutation one-hot: each bin receives from at most one slot), then
+    # gather per point ---
+    bin_model = jnp.einsum(
+        "scl,sc->sl", P, (model & sl_valid).astype(f_s.dtype)) > 0.5
+    bin_f = jnp.einsum("scl,sc->sl", P, jnp.where(sl_valid, f_s, 0.0))
     # bins that made it into the capacity-C slot array; overflow bins (more
     # than C valid signals in a sector) drop their points like invalid bins
-    bin_in = jnp.zeros((S, L), bool).at[rows, sl_bin].max(sl_valid)
+    bin_in = jnp.einsum("scl,sc->sl", P, sl_valid.astype(f_s.dtype)) > 0.5
 
     # per-point lookups of the five bin tables as ONE one-hot matmul (native
     # TPU gathers cost ~10 ms/table/step at batch 128; the MXU does all five
-    # in one pass, exactly, at HIGHEST precision)
-    p_bin = jnp.clip(lbin, 0, L - 1)
+    # in one pass, exactly, at HIGHEST precision). Reuses the bin incidence
+    # from the prototype pass — rows of out-of-range points are all-zero,
+    # which p_sig_valid's `ok` conjunction already excludes.
     table = jnp.stack([
         bin_in.astype(xyz.dtype), bin_model.astype(xyz.dtype), proto_h, bin_f,
         jnp.broadcast_to(sufficient[:, None], (S, L)).astype(xyz.dtype),
     ], axis=-1).reshape(S * L, 5)
-    fb = sector * L + p_bin
-    onehot = (fb[:, None] == jnp.arange(S * L)[None, :]).astype(xyz.dtype)
-    g = jnp.matmul(onehot, table, precision=jax.lax.Precision.HIGHEST)
+    g = jnp.matmul(inc.astype(xyz.dtype), table,
+                   precision=jax.lax.Precision.HIGHEST)
     p_sig_valid = ok & (g[:, 0] > 0.5)
     p_model = g[:, 1] > 0.5
     p_proto_h = g[:, 2]

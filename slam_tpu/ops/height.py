@@ -42,6 +42,42 @@ def _plane_normal(pts: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(degenerate, jnp.array([0.0, 0.0, 1.0], n.dtype), n)
 
 
+def height_interpolate_planes(gx, gy, gz, gvalid, pose_xyyawz: jnp.ndarray,
+                              cfg: HeightConfig) -> jnp.ndarray:
+    """height_interpolate on ground x/y/z planes (hot-path form; matches the
+    cloud version exactly — first-match tie handling included)."""
+    x, y, yaw, z0 = pose_xyyawz
+    wheels_local = jnp.array([
+        [-cfg.x_wheel_dist, -cfg.y_wheel_dist],
+        [-cfg.x_wheel_dist, cfg.y_wheel_dist],
+        [cfg.x_wheel_dist, -cfg.y_wheel_dist],
+        [cfg.x_wheel_dist, cfg.y_wheel_dist],
+    ])
+    R = rot2(yaw)
+    wxy = wheels_local @ R.T + jnp.stack([x, y])
+    wz = z0 - cfg.robot_height
+
+    BIG = 1e30
+    d2 = (wxy[:, 0:1] - gx[None, :])**2 + (wxy[:, 1:2] - gy[None, :])**2 + \
+        (wz - gz[None, :])**2 + jnp.where(gvalid[None, :], 0.0, BIG)  # (4, N)
+    dmin = jnp.min(d2, axis=1)
+    tie = d2 <= dmin[:, None]
+    first = (tie & (jnp.cumsum(tie, axis=1) == 1)).astype(gx.dtype)
+    corr = jnp.stack([jnp.sum(first * gx[None, :], axis=1),
+                      jnp.sum(first * gy[None, :], axis=1),
+                      jnp.sum(first * gz[None, :], axis=1)], axis=-1)  # (4, 3)
+    ok = dmin < cfg.max_nn_dist_sq
+    w = ok.astype(corr.dtype)
+    n_ok = jnp.sum(ok)
+
+    avg = jnp.sum(w[:, None] * corr, axis=0) / jnp.maximum(jnp.sum(w), 1e-9)
+    n = _plane_normal(corr, w)
+    n = jnp.where(n[2] < 0, -n, n)
+    new_z = n[2] * cfg.robot_height + avg[2]
+    good = (n_ok >= cfg.min_corr_points) & jnp.all(jnp.isfinite(n))
+    return jnp.where(good, new_z, z0)
+
+
 def height_interpolate(ground: PointCloud, pose_xyyawz: jnp.ndarray,
                        cfg: HeightConfig) -> jnp.ndarray:
     """Return the corrected z for a pose given a world-frame ground cloud.

@@ -52,20 +52,27 @@ def scatter_add_2d(cx: jnp.ndarray, cy: jnp.ndarray, values: jnp.ndarray,
 
 def scatter_add_2d_multi(cx: jnp.ndarray, cy: jnp.ndarray, values: tuple,
                          valid: jnp.ndarray, shape: tuple,
-                         precision=jax.lax.Precision.DEFAULT) -> tuple:
+                         precision=jax.lax.Precision.DEFAULT,
+                         precisions: tuple | None = None) -> tuple:
     """Planar scatter-add: per-channel (N,) value planes -> tuple of (H, W)
     grids. Same one-hot factorization as scatter_add_2d, but channels never
     stack into an (N, C) array (whose minor dim XLA lane-pads to 128) — each
     channel is one (H, N) @ (N, W) matmul on clean rank-2 operands. Pass
-    `None` as a channel for a pure count (skips the value multiply)."""
+    `None` as a channel for a pure count (skips the value multiply).
+
+    precisions: optional per-channel precision overrides (None entries fall
+    back to `precision`) — absolute-coordinate channels (e.g. world z) need
+    more than DEFAULT's bf16 inputs."""
     H, W = shape
     inb = valid & (cx >= 0) & (cy >= 0) & (cx < H) & (cy < W)
     X = _onehot(jnp.clip(cx, 0, H - 1), H, inb)           # (N, H)
     Y = _onehot(jnp.clip(cy, 0, W - 1), W, inb)           # (N, W)
     outs = []
-    for v in values:
+    for i, v in enumerate(values):
+        p = precision if precisions is None or precisions[i] is None \
+            else precisions[i]
         Xv = X if v is None else X * v[:, None]
-        outs.append(jnp.einsum("nh,nw->hw", Xv, Y, precision=precision))
+        outs.append(jnp.einsum("nh,nw->hw", Xv, Y, precision=p))
     return tuple(outs)
 
 

@@ -148,6 +148,64 @@ def compact_matmul(cloud: PointCloud, out_capacity: int) -> PointCloud:
                       flags=jnp.where(valid, out[:, 3].astype(jnp.int32), 0))
 
 
+def compact_planes(planes: tuple, valid: jnp.ndarray, out_capacity: int):
+    """Planar compact_matmul: (N,) value planes -> ((cap,) planes, out_valid).
+
+    Same order-preserving one-hot permutation, but each channel is its own
+    (cap, N) @ (N,) contraction — the stacked form's (N, 5) value matrix
+    lane-pads its minor dim to 128 on TPU (see geometry.se2_apply_xy).
+    Boolean planes should be passed as f32 0/1 and compared at the caller."""
+    import jax
+
+    N = valid.shape[0]
+    idx = jnp.cumsum(valid) - 1
+    slot = jnp.where(valid, idx, out_capacity)
+    onehot = (slot[None, :] == jnp.arange(out_capacity)[:, None]).astype(
+        jnp.float32)                                       # (cap, N)
+    hi = jax.lax.Precision.HIGHEST
+    outs = tuple(jnp.einsum("cn,n->c", onehot, p.astype(jnp.float32),
+                            precision=hi) for p in planes)
+    out_valid = jnp.einsum("cn,n->c", onehot,
+                           valid.astype(jnp.float32), precision=hi) > 0.5
+    return outs, out_valid
+
+
+def voxel_downsample_pairwise_planes(px, py, pz, valid, bit_planes: tuple,
+                                     leaf: Tuple[float, float, float]):
+    """Planar voxel_downsample_pairwise: centroid planes via the same-cell
+    incidence matmul. bit_planes: (N,) 0/1 f32 planes OR-combined per voxel.
+    Returns ((cx, cy, cz), keep, (bit planes as bool))."""
+    import jax
+
+    N = px.shape[0]
+    lx, ly, lz = (float(leaf[0]), float(leaf[1]), float(leaf[2]))
+    qx = jnp.floor(px / lx).astype(jnp.int32)
+    qy = jnp.floor(py / ly).astype(jnp.int32)
+    qz = jnp.floor(pz / lz).astype(jnp.int32)
+    same = (qx[:, None] == qx[None, :]) & (qy[:, None] == qy[None, :]) & \
+        (qz[:, None] == qz[None, :]) & valid[:, None] & valid[None, :]
+    Mf = same.astype(jnp.float32)
+    count = jnp.maximum(jnp.sum(Mf, axis=1), 1.0)
+    n_idx = jnp.arange(N, dtype=jnp.int32)
+    first_m = jnp.min(jnp.where(same, n_idx[None, :], N), axis=1)
+    keep = valid & (first_m == n_idx)
+
+    prec = jax.lax.Precision.DEFAULT  # cell-relative offsets: bf16-safe
+
+    def centroid(p, q, leaf_a):
+        cc = (q.astype(p.dtype) + 0.5) * leaf_a
+        rel = jnp.where(valid, p - cc, 0.0)
+        return cc + jnp.einsum("nm,m->n", Mf, rel, precision=prec) / count
+
+    cx = centroid(px, qx, lx)
+    cy = centroid(py, qy, ly)
+    cz = centroid(pz, qz, lz)
+    bits = tuple(
+        jnp.einsum("nm,m->n", Mf, b, precision=prec) > 0.5
+        for b in bit_planes)
+    return (cx, cy, cz), keep, bits
+
+
 def compact(cloud: PointCloud, out_capacity: int) -> PointCloud:
     """Pack valid points to the front of a (possibly smaller) buffer.
 

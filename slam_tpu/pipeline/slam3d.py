@@ -22,17 +22,14 @@ import jax
 import jax.numpy as jnp
 
 from slam_tpu.config import SlamConfig
-from slam_tpu.geometry import se2_apply
-from slam_tpu.mapping.occupancy import add_to_occupancy, shift_origin
+from slam_tpu.mapping.occupancy import shift_origin
 from slam_tpu.mapping.point_map import (PointMapGrid, export_points,
-                                        init_point_map, shift_point_map,
-                                        update_point_map)
+                                        init_point_map, shift_point_map)
 from slam_tpu.models import ekf as ekf_mod
-from slam_tpu.ops.classify import classify_ground_adjacent
 from slam_tpu.ops.ground import segment_ground, split_ground_obstacle
 from slam_tpu.ops.height import height_interpolate
 from slam_tpu.ops.icp import icp_fit
-from slam_tpu.ops.voxel import crop_box, voxel_downsample_pairwise
+from slam_tpu.ops.voxel import crop_box
 from slam_tpu.pipeline.slam2d import init_state  # shared state init
 from slam_tpu.sim import world2d, world3d
 from slam_tpu.sim.world3d import World3D
@@ -64,39 +61,68 @@ def init_ground_map(cfg: SlamConfig) -> GroundMap:
                      cloud=make_cloud(cfg.cloud.map_capacity))
 
 
-def build_scene_3d(scan_xyz, hit, cfg: SlamConfig):
+def build_scene_3d_planes(scan_xyz, hit, cfg: SlamConfig):
     """setSceneCloud (icpTools.cpp:611-634): GP-INSAC segment, compact each
     class into its right-sized container (one-hot matmul; a Velodyne scan is
     mostly ground, so the obstacle scene is tiny), classify ground adjacency
     and voxel-downsample the obstacle scene (pairwise same-cell matmuls at
-    the compacted size).
+    the compacted size). Planar form: returns obstacle planes
+    (ox, oy, oz, oga, odrv, ovalid) and ground planes (gx, gy, gz, gvalid) —
+    see geometry.se2_apply_xy for why planes.
 
     The ground class is deliberately NOT voxel-downsampled: its three
     consumers re-bin anyway (the ground point-map grid is a per-cell centroid
     store; the occupancy path decrements per raw point exactly like the
     reference's addToOccupancy, mls.cpp:73-142, which runs on the unfiltered
     cloud; height bootstrap is a masked NN where denser is better)."""
-    from slam_tpu.ops.voxel import compact_matmul
+    from slam_tpu.ops.classify import classify_ga_planes
+    from slam_tpu.ops.voxel import (compact_planes,
+                                    voxel_downsample_pairwise_planes)
     from slam_tpu.types import cloud_from_xyz
 
     cloud = cloud_from_xyz(scan_xyz, valid=hit)
     seg = segment_ground(cloud, cfg.ground)
     obstacle, ground, _ = split_ground_obstacle(seg.cloud)
+    x, y, z = scan_xyz[..., 0], scan_xyz[..., 1], scan_xyz[..., 2]
+    drv = ((seg.cloud.flags & PointCloud.FLAG_DRIVABLE) != 0).astype(x.dtype)
 
-    obs_cloud = compact_matmul(seg.cloud.replace(valid=obstacle),
-                               cfg.cloud.scene_capacity)
-    obs_cloud = classify_ground_adjacent(
-        obs_cloud, jnp.zeros(2), cfg.icp.ga_num_bins, cfg.icp.ga_resolution,
-        cfg.icp.ga_threshold)
-    obs_ds = voxel_downsample_pairwise(obs_cloud, cfg.icp.voxel_leaf_obs)
-    gnd_ds = compact_matmul(seg.cloud.replace(valid=ground),
-                            cfg.cloud.ground_capacity)
-    return obs_ds, gnd_ds
+    (ox, oy, oz, odrv), ovalid = compact_planes(
+        (x, y, z, drv), obstacle, cfg.cloud.scene_capacity)
+    oga = classify_ga_planes(ox, oy, ovalid, jnp.zeros(2),
+                             cfg.icp.ga_num_bins, cfg.icp.ga_resolution,
+                             cfg.icp.ga_threshold)
+    (ox, oy, oz), okeep, (oga, odrv_b) = voxel_downsample_pairwise_planes(
+        ox, oy, oz, ovalid, (oga.astype(x.dtype), odrv),
+        cfg.icp.voxel_leaf_obs)
+    (gx, gy, gz), gvalid = compact_planes((x, y, z), ground,
+                                          cfg.cloud.ground_capacity)
+    return (ox, oy, oz, oga, odrv_b, okeep), (gx, gy, gz, gvalid)
+
+
+def _planes_to_cloud_3d(px, py, pz, ga, drv, valid) -> PointCloud:
+    """Pack obstacle planes into the PointCloud container (state carry)."""
+    xyz = jnp.stack([px, py, pz], axis=-1)
+    flags = jnp.where(ga, PointCloud.FLAG_GA, 0) | \
+        jnp.where(drv, PointCloud.FLAG_DRIVABLE, 0)
+    return PointCloud(xyz=jnp.where(valid[:, None], xyz, 0.0), valid=valid,
+                      flags=jnp.where(valid, flags, 0).astype(jnp.int32))
+
+
+def build_scene_3d(scan_xyz, hit, cfg: SlamConfig):
+    """Cloud-out wrapper over build_scene_3d_planes (compat API)."""
+    (ox, oy, oz, oga, odrv, ovalid), (gx, gy, gz, gvalid) = \
+        build_scene_3d_planes(scan_xyz, hit, cfg)
+    obs = _planes_to_cloud_3d(ox, oy, oz, oga, odrv, ovalid)
+    gnd = PointCloud(
+        xyz=jnp.where(gvalid[:, None], jnp.stack([gx, gy, gz], -1), 0.0),
+        valid=gvalid,
+        flags=jnp.where(gvalid, PointCloud.FLAG_GROUND, 0).astype(jnp.int32))
+    return obs, gnd
 
 
 def slam_step_3d(state: SlamState, world: World3D, ground_map: GroundMap,
                  cfg: SlamConfig, refresh_map: bool = True,
-                 shift_maps: bool = True):
+                 shift_maps: bool = True, target_planes=None):
     """One simulated 3D SLAM tick: drive on terrain, sense (the robot tilts
     with the surface), then process the frame. Returns (state, ground_map).
     """
@@ -118,7 +144,7 @@ def slam_step_3d(state: SlamState, world: World3D, ground_map: GroundMap,
     new_state, gm = process_frame_3d(
         state, ground_map, scan_tilted, hit, roll + imu_noise[0],
         pitch + imu_noise[1], gyro, cmd, cfg, refresh_map=refresh_map,
-        shift_maps=shift_maps)
+        shift_maps=shift_maps, target_planes=target_planes)
     return new_state.replace(
         true_pose=jnp.concatenate([true2, true_z[None]]), rng=key), gm
 
@@ -136,15 +162,25 @@ def slam_step_3d_io(state: SlamState, ground_map: GroundMap, scan_tilted,
 
 def process_frame_3d(state: SlamState, ground_map: GroundMap, scan_tilted,
                      hit, roll, pitch, gyro, cmd, cfg: SlamConfig,
-                     refresh_map: bool = True, shift_maps: bool = True):
+                     refresh_map: bool = True, shift_maps: bool = True,
+                     target_planes=None):
     """Sensor frame -> updated (state, ground_map): IMU tilt compensation ->
     EKF predict/gyro -> GP-INSAC scene -> registration -> height
-    interpolation -> maps.
+    interpolation -> maps. Point data stays planar end to end (see
+    geometry.se2_apply_xy); clouds are packed only for the state carry.
 
     ground_map: persistent world-frame ground store (the reference's
     graph_slam-published global ground cloud feeding height interpolation,
     scan_registration.cpp:185-186 + icpTools.cpp:292).
+
+    target_planes: optional (mx, my, mga, mvalid) scan-to-map target planes
+    refreshed by the rollout at macro boundaries; None slices state.map_cloud.
     """
+    from slam_tpu.geometry import se2_apply_xy
+    from slam_tpu.mapping.occupancy import add_to_occupancy_xy2
+    from slam_tpu.mapping.point_map import update_point_map_xy
+    from slam_tpu.ops.height import height_interpolate_planes
+
     dt = cfg.sim.dt
 
     # IMU roll/pitch compensation (pointcloud_filter.cpp:103-148): rotate the
@@ -158,23 +194,36 @@ def process_frame_3d(state: SlamState, ground_map: GroundMap, scan_tilted,
     pred = jnp.stack([ekf.mu[0], ekf.mu[1], ekf.mu[6]])
 
     # --- segmentation + registration ---
-    obs_scene, gnd_scene = build_scene_3d(scan_xyz, hit, cfg)
-    target = crop_box(state.map_cloud, pred[:2], cfg.icp.crop_dist)
+    (ox, oy, oz, oga, odrv, ovalid), (gx, gy, gz, gvalid) = \
+        build_scene_3d_planes(scan_xyz, hit, cfg)
     if cfg.icp.matcher == "fused" and jax.default_backend() == "tpu":
-        from slam_tpu.ops.icp_pallas import make_icp_fused
-        icp = make_icp_fused(cfg.icp)(
-            obs_scene.xyz[..., :2], obs_scene.valid, obs_scene.is_ga(),
-            target.xyz[..., :2], target.valid, target.is_ga(), pred)
+        from slam_tpu.ops.icp_pallas import (encode_model_class,
+                                             encode_scene_class,
+                                             make_icp_fused_planes)
+        if target_planes is None:
+            mpx = state.map_cloud.xyz[..., 0]
+            mpy = state.map_cloud.xyz[..., 1]
+            mga = state.map_cloud.is_ga()
+            mvalid = state.map_cloud.valid
+        else:
+            mpx, mpy, mga, mvalid = target_planes
+        d = cfg.icp.crop_dist
+        inb = mvalid & (jnp.abs(mpx - pred[0]) <= d) & \
+            (jnp.abs(mpy - pred[1]) <= d)
+        icp = make_icp_fused_planes(cfg.icp)(
+            ox, oy, encode_scene_class(ovalid, oga),
+            mpx, mpy, encode_model_class(inb, mga), pred)
     else:
-        icp = icp_fit(obs_scene.xyz[..., :2], obs_scene.valid,
-                      obs_scene.is_ga(), target.xyz[..., :2], target.valid,
-                      target.is_ga(), pred, cfg.icp)
+        target = crop_box(state.map_cloud, pred[:2], cfg.icp.crop_dist)
+        icp = icp_fit(jnp.stack([ox, oy], -1), ovalid, oga,
+                      target.xyz[..., :2], target.valid, target.is_ga(),
+                      pred, cfg.icp)
 
     # --- EKF fuse + height interpolation ---
     from slam_tpu.utils import metrics
     metrics.emit("slam_step_3d", icp_ok=icp.ok, num_corr=icp.num_corr,
                  mean_residual=icp.mean_residual,
-                 scene_points=obs_scene.count())
+                 scene_points=jnp.sum(ovalid))
     ekf = ekf_mod.slam_update(ekf, icp.pose, cfg.ekf, has_meas=icp.ok)
     fused = jnp.stack([ekf.mu[0], ekf.mu[1], ekf.mu[6]])
     pose4_pre = jnp.concatenate([fused, state.pose[3:4]])
@@ -182,27 +231,26 @@ def process_frame_3d(state: SlamState, ground_map: GroundMap, scan_tilted,
                                 state.pose[3:4]])
     new_z = height_interpolate(ground_map.cloud, pose4_pre, cfg.height)
     # bootstrap: empty ground map -> current scan's ground points at the pose
-    gnd_world_xy = se2_apply(map_pose[:3], gnd_scene.xyz[..., :2])
-    gnd_world = gnd_scene.replace(xyz=jnp.concatenate(
-        [gnd_world_xy, gnd_scene.xyz[..., 2:] + map_pose[3]], axis=-1))
+    gwx, gwy = se2_apply_xy(map_pose[:3], gx, gy)
+    gwz = gz + map_pose[3]
     have_map = ground_map.cloud.count() >= cfg.height.min_corr_points
-    z_scan = height_interpolate(gnd_world, pose4_pre, cfg.height)
+    z_scan = height_interpolate_planes(gwx, gwy, gwz, gvalid, pose4_pre,
+                                       cfg.height)
     pose4 = pose4_pre.at[3].set(jnp.where(have_map, new_z, z_scan))
     map_pose = map_pose.at[3].set(pose4[3])
 
     # --- maps: centroid grids, one matmul scatter each ---
-    obs_world_xy = se2_apply(map_pose[:3], obs_scene.xyz[..., :2])
-    obs_world = jnp.concatenate(
-        [obs_world_xy, obs_scene.xyz[..., 2:] + map_pose[3]], axis=-1)
+    owx, owy = se2_apply_xy(map_pose[:3], ox, oy)
+    owz = oz + map_pose[3]
     res = cfg.icp.voxel_leaf_obs[0]
     mg = shift_point_map(state.map_grid, fused[:2], res) \
         if shift_maps else state.map_grid
-    mg = update_point_map(mg, obs_world, obs_scene.valid, res,
-                          z_precision=jax.lax.Precision.HIGH)
+    mg = update_point_map_xy(mg, owx, owy, owz, ovalid, res,
+                             z_precision=jax.lax.Precision.HIGH)
     gg = shift_point_map(ground_map.grid, fused[:2], res) \
         if shift_maps else ground_map.grid
-    gg = update_point_map(gg, gnd_world.xyz, gnd_scene.valid, res,
-                          z_precision=jax.lax.Precision.HIGH)
+    gg = update_point_map_xy(gg, gwx, gwy, gwz, gvalid, res,
+                             z_precision=jax.lax.Precision.HIGH)
     if refresh_map:
         map_cloud = export_points(mg, state.map_cloud.capacity,
                                   ga_threshold=cfg.icp.ga_threshold)
@@ -216,23 +264,21 @@ def process_frame_3d(state: SlamState, ground_map: GroundMap, scan_tilted,
         if shift_maps else state.local_map
     rel = jnp.stack([fused[0] - grid.center[0], fused[1] - grid.center[1],
                      fused[2]])
-    obs_local = obs_scene.replace(
-        xyz=jnp.concatenate([se2_apply(rel, obs_scene.xyz[..., :2]),
-                             obs_scene.xyz[..., 2:]], axis=-1),
-        valid=obs_scene.valid
-        & ~((obs_scene.flags & PointCloud.FLAG_DRIVABLE) != 0))
-    gnd_local = gnd_scene.replace(
-        xyz=jnp.concatenate([se2_apply(rel, gnd_scene.xyz[..., :2]),
-                             gnd_scene.xyz[..., 2:]], axis=-1))
-    grid = add_to_occupancy(grid, obs_local, gnd_local, cfg.mls)
+    olx, oly = se2_apply_xy(rel, ox, oy)
+    glx, gly = se2_apply_xy(rel, gx, gy)
+    grid = add_to_occupancy_xy2(grid, olx, oly, ovalid & ~odrv,
+                                glx, gly, gvalid, cfg.mls)
 
+    prev_scene = _fit_capacity(
+        _planes_to_cloud_3d(ox, oy, oz, oga, odrv, ovalid),
+        state.prev_scene.capacity)
     new_state = state.replace(
         ekf=ekf,
         pose=pose4,
         scan_reg_pose=map_pose,
         scan_reg_ok=icp.ok,
         local_map=grid,
-        prev_scene=_fit_capacity(obs_scene, state.prev_scene.capacity),
+        prev_scene=prev_scene,
         map_cloud=map_cloud,
         map_grid=mg,
         step=state.step + 1,
@@ -264,22 +310,27 @@ def rollout_3d(state: SlamState, world: World3D, ground_map, cfg: SlamConfig,
     num_macro = -(-num_steps // field_every)
 
     def macro(carry, _):
+        from slam_tpu.mapping.point_map import export_point_planes
+        from slam_tpu.pipeline.slam2d import planes_to_cloud
+
         s, gm = carry
         s = s.replace(
             map_grid=shift_point_map(s.map_grid, s.pose[:2]),
             local_map=shift_origin(s.local_map, s.pose[:2], cfg.mls))
         gm = GroundMap(grid=shift_point_map(gm.grid, s.pose[:2]),
                        cloud=gm.cloud)
-        s = s.replace(map_cloud=export_points(
+        ex, ey, ez, ega, evalid = export_point_planes(
             s.map_grid, s.map_cloud.capacity,
-            ga_threshold=cfg.icp.ga_threshold))
+            ga_threshold=cfg.icp.ga_threshold)
+        planes = (ex, ey, ega, evalid)
+        s = s.replace(map_cloud=planes_to_cloud(ex, ey, ega, evalid, ez))
         gm = GroundMap(grid=gm.grid,
                        cloud=export_points(gm.grid, gm.cloud.capacity))
 
         def tick(c, _):
             ss, g = c
             ss, g = slam_step_3d(ss, world, g, cfg, refresh_map=False,
-                                 shift_maps=False)
+                                 shift_maps=False, target_planes=planes)
             return (ss, g), (ss.pose, ss.true_pose)
 
         (s, gm), traj = jax.lax.scan(tick, (s, gm), None, length=field_every)

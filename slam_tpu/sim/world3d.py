@@ -74,7 +74,7 @@ def terrain_attitude(world: World3D, xy: jnp.ndarray, eps: float = 0.25):
 
 
 def raycast(world: World3D, pose_xyyaw: jnp.ndarray, cfg: SimConfig,
-            noise_key=None, march_steps: int = 48, refine_steps: int = 12,
+            noise_key=None, march_steps: int = 48, refine_steps: int = 3,
             roll=0.0, pitch=0.0):
     """Cast the Velodyne pattern from the sensor above the terrain.
 
@@ -95,27 +95,43 @@ def raycast(world: World3D, pose_xyyaw: jnp.ndarray, cfg: SimConfig,
     d = jnp.einsum("ij,nj->ni", Rt, d_local)
     tmax = cfg.beam_max_range
 
-    # terrain: fixed march to bracket the first crossing, then bisection
+    # terrain: fixed march to bracket the first crossing, then regula falsi.
+    # The march already computes signed height margins, so the bracket comes
+    # with endpoint values for free and each refine step interpolates the
+    # crossing instead of halving — 3 steps match 12 bisections to sub-mm on
+    # the smooth sine terrain (each step is a full (N,) terrain eval, the
+    # dominant raycast cost at ~0.2 ms/step at batch 128)
     ts = jnp.linspace(0.0, tmax, march_steps)                     # (T,)
     pts = o[None, None, :] + ts[None, :, None] * d[:, None, :]    # (N, T, 3)
-    above = pts[..., 2] > terrain_height(world, pts[..., :2])
+    marg = pts[..., 2] - terrain_height(world, pts[..., :2])      # (N, T)
+    above = marg > 0
     crossed = above[:, :-1] & ~above[:, 1:]                       # (N, T-1)
-    first = jnp.argmax(crossed, axis=1)
     has_cross = jnp.any(crossed, axis=1)
-    lo = ts[first]
-    hi = ts[first + 1]
+    # one-hot of the FIRST crossing; masked sums replace take_along_axis
+    # (native per-row gathers serialize on TPU, ~5 ms/tick at batch 128)
+    one_first = (crossed & (jnp.cumsum(crossed, axis=1) == 1)).astype(
+        marg.dtype)                                               # (N, T-1)
+    lo = jnp.sum(ts[None, :-1] * one_first, axis=1)
+    hi = jnp.sum(ts[None, 1:] * one_first, axis=1)
+    m_lo = jnp.sum(marg[:, :-1] * one_first, axis=1)
+    m_hi = jnp.sum(marg[:, 1:] * one_first, axis=1)
 
-    def bisect(carry, _):
-        lo, hi = carry
-        mid = 0.5 * (lo + hi)
+    def falsi(carry, _):
+        lo, m_lo, hi, m_hi = carry
+        mid = lo + (hi - lo) * m_lo / jnp.maximum(m_lo - m_hi, 1e-12)
         p = o[None, :] + mid[:, None] * d
-        above_m = p[:, 2] > terrain_height(world, p[:, :2])
+        m_mid = p[:, 2] - terrain_height(world, p[:, :2])
+        above_m = m_mid > 0
         lo = jnp.where(above_m, mid, lo)
+        m_lo = jnp.where(above_m, m_mid, m_lo)
         hi = jnp.where(above_m, hi, mid)
-        return (lo, hi), None
+        m_hi = jnp.where(above_m, m_hi, m_mid)
+        return (lo, m_lo, hi, m_hi), None
 
-    (lo, hi), _ = jax.lax.scan(bisect, (lo, hi), None, length=refine_steps)
-    t_terr = jnp.where(has_cross, 0.5 * (lo + hi), jnp.inf)
+    (lo, m_lo, hi, m_hi), _ = jax.lax.scan(falsi, (lo, m_lo, hi, m_hi), None,
+                                           length=refine_steps)
+    t_star = lo + (hi - lo) * m_lo / jnp.maximum(m_lo - m_hi, 1e-12)
+    t_terr = jnp.where(has_cross, t_star, jnp.inf)
 
     # cylinders: 2D circle intersection + z-range check
     oc = o[:2] - world.centers                                    # (M, 2)
