@@ -94,9 +94,12 @@ def build_scene_3d_planes(scan_xyz, hit, cfg: SlamConfig):
     (ox, oy, oz), okeep, (oga, odrv_b) = voxel_downsample_pairwise_planes(
         ox, oy, oz, ovalid, (oga.astype(x.dtype), odrv),
         cfg.icp.voxel_leaf_obs)
-    (gx, gy, gz), gvalid = compact_planes((x, y, z), ground,
-                                          cfg.cloud.ground_capacity)
-    return (ox, oy, oz, oga, odrv_b, okeep), (gx, gy, gz, gvalid)
+    # ground planes stay in scan slots (mask only, no compaction): every
+    # consumer (height bootstrap, ground-map scatter, occupancy decrement)
+    # is mask-driven, and ground_capacity (1536) is so close to the scan
+    # size (2048) that packing is a ~1 ms/tick (cap, N) reduction for a
+    # 25% shrink of already-cheap consumers
+    return (ox, oy, oz, oga, odrv_b, okeep), (x, y, z, ground)
 
 
 def _planes_to_cloud_3d(px, py, pz, ga, drv, valid) -> PointCloud:
@@ -109,10 +112,15 @@ def _planes_to_cloud_3d(px, py, pz, ga, drv, valid) -> PointCloud:
 
 
 def build_scene_3d(scan_xyz, hit, cfg: SlamConfig):
-    """Cloud-out wrapper over build_scene_3d_planes (compat API)."""
+    """Cloud-out wrapper over build_scene_3d_planes (compat API): packs the
+    obstacle planes and compacts the ground planes to ground_capacity."""
+    from slam_tpu.ops.voxel import compact_planes
+
     (ox, oy, oz, oga, odrv, ovalid), (gx, gy, gz, gvalid) = \
         build_scene_3d_planes(scan_xyz, hit, cfg)
     obs = _planes_to_cloud_3d(ox, oy, oz, oga, odrv, ovalid)
+    (gx, gy, gz), gvalid = compact_planes((gx, gy, gz), gvalid,
+                                          cfg.cloud.ground_capacity)
     gnd = PointCloud(
         xyz=jnp.where(gvalid[:, None], jnp.stack([gx, gy, gz], -1), 0.0),
         valid=gvalid,

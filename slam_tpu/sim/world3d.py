@@ -74,7 +74,7 @@ def terrain_attitude(world: World3D, xy: jnp.ndarray, eps: float = 0.25):
 
 
 def raycast(world: World3D, pose_xyyaw: jnp.ndarray, cfg: SimConfig,
-            noise_key=None, march_steps: int = 48, refine_steps: int = 3,
+            noise_key=None, march_steps: int = 16, refine_steps: int = 5,
             roll=0.0, pitch=0.0):
     """Cast the Velodyne pattern from the sensor above the terrain.
 
@@ -98,9 +98,15 @@ def raycast(world: World3D, pose_xyyaw: jnp.ndarray, cfg: SimConfig,
     # terrain: fixed march to bracket the first crossing, then regula falsi.
     # The march already computes signed height margins, so the bracket comes
     # with endpoint values for free and each refine step interpolates the
-    # crossing instead of halving — 3 steps match 12 bisections to sub-mm on
-    # the smooth sine terrain (each step is a full (N,) terrain eval, the
-    # dominant raycast cost at ~0.2 ms/step at batch 128)
+    # crossing instead of halving. March density is set by the terrain's
+    # spectral bound, not by accuracy: make_world's waves have |k| <=
+    # 0.08*sqrt(2), i.e. wavelength >= 55 m, so the ray margin f(t) varies on
+    # a >= 55 m scale and 16 steps over a 50 m range sample it 17x per period
+    # — a bracket cannot straddle a dip-and-recover. Refinement accuracy
+    # comes from regula falsi (superlinear on this nearly-linear f): 5 steps
+    # from a 3.3 m bracket reach ~1e-5 m, matching the old 48-step+bisection
+    # scheme to well under the 0.01 m range noise. Each march step is a full
+    # (N,) terrain eval — the dominant raycast cost at batch 128.
     ts = jnp.linspace(0.0, tmax, march_steps)                     # (T,)
     pts = o[None, None, :] + ts[None, :, None] * d[:, None, :]    # (N, T, 3)
     marg = pts[..., 2] - terrain_height(world, pts[..., :2])      # (N, T)
