@@ -11,6 +11,31 @@ from slam_tpu.sim import world3d
 from slam_tpu.types import make_cloud
 
 
+def test_raycast_matches_dense_march_oracle():
+    """The production raycast (16-step bracket + regula falsi) must agree
+    with a dense 512-step march + deep refine to sub-mm range on hit rays,
+    and agree exactly on the hit mask. Guards the spectral-bound argument
+    for the coarse march (world3d.py raycast comment): make_world terrain
+    wavelengths are >= 55 m, so a 16-step bracket over 50 m cannot straddle
+    a dip-and-recover crossing."""
+    cfg = sim3d_config()
+    for seed in (1, 7):
+        world = world3d.make_world(jax.random.PRNGKey(seed), cfg.sim)
+        for pose in (jnp.array([0.0, 0.0, 0.3]), jnp.array([9.0, -14.0, 2.1])):
+            fast, hit_f = world3d.raycast(world, pose, cfg.sim,
+                                          roll=0.03, pitch=-0.02)
+            dense, hit_d = world3d.raycast(world, pose, cfg.sim,
+                                           march_steps=512, refine_steps=12,
+                                           roll=0.03, pitch=-0.02)
+            hit_f, hit_d = np.asarray(hit_f), np.asarray(hit_d)
+            assert (hit_f == hit_d).mean() > 0.999, "hit masks diverge"
+            both = hit_f & hit_d
+            rf = np.linalg.norm(np.asarray(fast)[both], axis=-1)
+            rd = np.linalg.norm(np.asarray(dense)[both], axis=-1)
+            err = np.abs(rf - rd)
+            assert err.max() < 2e-3, f"range error {err.max():.5f} m"
+
+
 def test_raycast_geometry():
     cfg = sim3d_config()
     world = world3d.make_world(jax.random.PRNGKey(1), cfg.sim)
