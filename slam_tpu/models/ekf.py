@@ -59,6 +59,12 @@ def motion_update(state: EkfState, cmd: jnp.ndarray, dt, cfg: EkfConfig) -> EkfS
     """
     mu, sigma = state.mu, state.sigma
     dt = jnp.asarray(dt, mu.dtype)
+    # clamp + NaN-reject at the filter input, not just at message ingest:
+    # the reference drops NaN cmd_vel messages before they ever reach the
+    # predict step (nasa_ekf.cpp:344-352); a caller feeding external frames
+    # (process_frame / slam_step_io) must get the same protection, or one
+    # bad frame NaN-poisons mu/sigma permanently
+    cmd = clamp_cmd(cmd, cfg)
     vx, vy = cmd[0], cmd[1]
     yaw = angle_wrap(mu[6] + mu[7] * dt)
     omega = mu[7]
