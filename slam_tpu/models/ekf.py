@@ -114,7 +114,9 @@ def yaw_rate_update(state: EkfState, gyro_z: jnp.ndarray, cfg: EkfConfig,
     mu = mubar + K * (meas - mubar[7])
     mu = mu.at[6].set(angle_wrap(mu[6]))
     sigma = _mm(jnp.eye(8, dtype=mubar.dtype) - jnp.outer(K, C), sigmabar)
-    has = jnp.asarray(has_meas)
+    # a non-finite gyro sample is a dropped measurement, not filter poison
+    # (same stance as the reference's NaN cmd_vel gate, nasa_ekf.cpp:344)
+    has = jnp.asarray(has_meas) & jnp.isfinite(meas)
     return state.replace(
         mu=jnp.where(has, mu, mubar),
         sigma=jnp.where(has, sigma, sigmabar),
@@ -142,7 +144,9 @@ def slam_update(state: EkfState, meas: jnp.ndarray, cfg: EkfConfig,
     K = _mm(_mm(sigmabar, C.T), inv3(S))
     mu = mubar + _mm(K, innov)
     sigma = _mm(jnp.eye(8, dtype=mubar.dtype) - _mm(K, C), sigmabar)
-    has = jnp.asarray(has_meas)
+    # a non-finite pose measurement is a dropped update (matches the ICP
+    # failure-sentinel stance: skip, never poison)
+    has = jnp.asarray(has_meas) & jnp.all(jnp.isfinite(meas))
     return state.replace(
         mu=jnp.where(has, mu, mubar),
         sigma=jnp.where(has, sigma, sigmabar),

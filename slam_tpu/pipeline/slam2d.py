@@ -288,6 +288,13 @@ def process_frame_planes(state: SlamState, scan_x, scan_y, hit, gyro, cmd,
 
     dt = cfg.sim.dt
 
+    # non-finite scan points (external dropouts encoded as NaN rather than
+    # hit=False) are treated as misses — and their coordinates zeroed, since
+    # even a masked NaN poisons one-hot scatters (0 * NaN = NaN)
+    hit = hit & jnp.isfinite(scan_x) & jnp.isfinite(scan_y)
+    scan_x = jnp.where(hit, scan_x, 0.0)
+    scan_y = jnp.where(hit, scan_y, 0.0)
+
     # --- EKF predict + gyro update (nasa_ekf.cpp:421-446 order) ---
     ekf = ekf_mod.motion_update(state.ekf, cmd, dt, cfg.ekf)
     ekf = ekf_mod.yaw_rate_update(ekf, gyro, cfg.ekf)

@@ -191,10 +191,19 @@ def process_frame_3d(state: SlamState, ground_map: GroundMap, scan_tilted,
 
     dt = cfg.sim.dt
 
+    # non-finite scan points (external dropouts encoded as NaN rather than
+    # hit=False) are treated as misses — one bad point would otherwise
+    # NaN-poison every grid it scatters into. NaN attitude likewise zeroes
+    # the tilt compensation instead of rotating the whole scan to NaN.
+    hit = hit & jnp.all(jnp.isfinite(scan_tilted), axis=-1)
+    roll = jnp.where(jnp.isfinite(roll), roll, 0.0)
+    pitch = jnp.where(jnp.isfinite(pitch), pitch, 0.0)
+
     # IMU roll/pitch compensation (pointcloud_filter.cpp:103-148): rotate the
     # tilted sensor frame upright using the measured attitude
     from slam_tpu.geometry import rp_compensate
-    scan_xyz = rp_compensate(scan_tilted, roll, pitch)
+    scan_xyz = rp_compensate(jnp.where(hit[:, None], scan_tilted, 0.0),
+                             roll, pitch)
 
     # --- EKF predict + gyro ---
     ekf = ekf_mod.motion_update(state.ekf, cmd, dt, cfg.ekf)

@@ -75,6 +75,43 @@ def test_nan_command_is_rejected_2d():
     _assert_finite_state(st)
 
 
+def test_nan_scan_points_and_gyro_2d():
+    """NaN points inside an otherwise-valid scan (sensor dropouts encoded as
+    NaN instead of hit=False) and a NaN gyro sample must both degrade to
+    'measurement dropped', never to a poisoned state."""
+    cfg = sim2d_config()
+    world = world2d.make_world(jax.random.PRNGKey(42), cfg.sim)
+    st = slam2d.init_state(jax.random.PRNGKey(0), cfg)
+    for _ in range(4):
+        st = slam2d.slam_step(st, world, cfg)
+    ranges, hit = world2d.raycast(world, st.true_pose[:3], cfg.sim)
+    ang = jnp.arange(cfg.sim.num_beams) * (2 * jnp.pi / cfg.sim.num_beams)
+    scan = jnp.stack([ranges * jnp.cos(ang), ranges * jnp.sin(ang),
+                      jnp.zeros_like(ranges)], axis=-1)
+    scan = scan.at[::7].set(jnp.nan)  # ~14% dropouts, still flagged hit
+    st = slam2d.process_frame(st, scan, hit, jnp.nan, jnp.zeros(3), cfg)
+    _assert_finite_state(st)
+    assert np.isfinite(np.asarray(st.local_map.counts)).all()
+    assert np.isfinite(np.asarray(st.map_grid.sum_x)).all()
+
+
+def test_nan_attitude_3d_is_dropped():
+    cfg = sim3d_config()
+    world = world3d.make_world(jax.random.PRNGKey(42), cfg.sim)
+    st = slam3d.init_state_3d(jax.random.PRNGKey(0), cfg, world)
+    gm = slam3d.init_ground_map(cfg)
+    for _ in range(3):
+        st, gm = slam3d.slam_step_3d(st, world, gm, cfg)
+    key = jax.random.PRNGKey(9)
+    scan, hit = world3d.raycast(world, st.true_pose[:3], cfg.sim,
+                                noise_key=key)
+    scan = scan.at[::11].set(jnp.nan)
+    st, gm = slam3d.slam_step_3d_io(st, gm, scan, hit, jnp.nan, jnp.nan,
+                                    0.0, jnp.zeros(3), cfg)
+    _assert_finite_state(st)
+    assert np.isfinite(np.asarray(gm.grid.sum_z)).all()
+
+
 def test_all_miss_scan_3d_flags_failure():
     cfg = sim3d_config()
     world = world3d.make_world(jax.random.PRNGKey(42), cfg.sim)
