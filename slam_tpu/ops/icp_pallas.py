@@ -88,6 +88,7 @@ def _icp_core(max_iter: int, inlier_dist: float, min_delta: float,
     participate = jnp.where(sc >= 0.0, 1.0, 0.0) * class_on   # (S, 1)
     pair_ok = jnp.where(sc == mc, 1.0, 0.0) * \
         jnp.where(mc >= 2.0, 0.0, 1.0)                        # (S, C)
+    penalty = (1.0 - pair_ok) * BIG  # loop-invariant: hoisted off the tile
 
     # rotation carried as a (cos, sin) pair: Mosaic has no scalar atan2/trig,
     # and Kabsch only needs the normalized (H00+H11, H01-H10) direction
@@ -97,25 +98,32 @@ def _icp_core(max_iter: int, inlier_dist: float, min_delta: float,
         qy = sth * sx + cth * sy + ty
         dx = qx - mx                                 # (S, C)
         dy = qy - my
-        d2 = dx * dx + dy * dy + (1.0 - pair_ok) * BIG
+        d2 = dx * dx + dy * dy + penalty
         rowmin = jnp.min(d2, axis=1, keepdims=True)  # (S, 1)
         w = participate * jnp.where(rowmin < inlier_dist, 1.0, 0.0)  # (S, 1)
         sel = jnp.where(d2 <= rowmin, 1.0, 0.0) * w  # ties included
         nt = jnp.sum(sel, axis=1, keepdims=True)
-        u = sel / jnp.maximum(nt, 1.0)
+        # row-sum factorization: every Kabsch moment needs only the per-row
+        # tie-averaged model point (ux, uy) = sum_c u[:, c] * (mx, my)[c], so
+        # the (S, C) tile is touched by exactly three multiply-rowsum passes;
+        # the H cross-moments then reduce (S, 1) columns. Algebraically
+        # identical to the full-tile form (sum_qc u q m^T = sum_q q (u m)_q).
+        inv_nt = 1.0 / jnp.maximum(nt, 1.0)
+        ux = jnp.sum(sel * mx, axis=1, keepdims=True) * inv_nt   # (S, 1)
+        uy = jnp.sum(sel * my, axis=1, keepdims=True) * inv_nt
 
         W = jnp.sum(w)
         Ws = jnp.maximum(W, 1e-12)
         mqx = jnp.sum(w * qx) / Ws
         mqy = jnp.sum(w * qy) / Ws
-        umx = u * mx
-        umy = u * my
-        mmx = jnp.sum(umx) / Ws
-        mmy = jnp.sum(umy) / Ws
-        H00 = jnp.sum(qx * umx) - W * mqx * mmx
-        H01 = jnp.sum(qx * umy) - W * mqx * mmy
-        H10 = jnp.sum(qy * umx) - W * mqy * mmx
-        H11 = jnp.sum(qy * umy) - W * mqy * mmy
+        # rows with w == 0 have sel == 0 hence ux = uy = 0: they drop out of
+        # the sums exactly as the zero rows of u did
+        mmx = jnp.sum(ux) / Ws
+        mmy = jnp.sum(uy) / Ws
+        H00 = jnp.sum(qx * ux) - W * mqx * mmx
+        H01 = jnp.sum(qx * uy) - W * mqx * mmy
+        H10 = jnp.sum(qy * ux) - W * mqy * mmx
+        H11 = jnp.sum(qy * uy) - W * mqy * mmy
         a = H00 + H11
         b = H01 - H10
         rn = jax.lax.rsqrt(jnp.maximum(a * a + b * b, 1e-24))
