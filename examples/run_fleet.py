@@ -57,7 +57,9 @@ def main():
           f"/{args.batch}")
     if args.metrics:
         s = metrics.summary().get("slam_step", {})
-        print(f"metrics over {len(metrics.records())} emitted steps: "
+        # records are per-robot-per-step (steps x batch)
+        print(f"metrics over {len(metrics.records())} records "
+              f"({len(metrics.records()) // max(args.batch, 1)} steps): "
               f"icp ok-rate {s.get('icp_ok', float('nan')):.3f}  |  "
               f"mean correspondences {s.get('num_corr', float('nan')):.1f}  |  "
               f"mean residual {s.get('mean_residual', float('nan')):.4f} m^2")

@@ -134,6 +134,8 @@ class GraphConfig:
     opt_iterations: int = 10             # graph_slam.cpp:332 LM iterations
     edge_icp_voxel: float = 0.5          # graphSlamTools.cpp:282 leaf size
     edge_max_corr: float = 0.75          # graphSlamTools.cpp:302 LUM max corr dist
+    edge_min_corr: int = 5               # minimum-overlap edge gate (ours; the
+                                         # reference would add a ~zero-info edge)
     edge_icp_max_iter: int = 50          # GICP budget (ref <=200, gicp default)
     dist_move_thresh: float = 10.0       # graphSlamTools.h:35 edge rejection [m]
     rot_move_thresh: float = 0.2         # graphSlamTools.h:36 edge rejection [rad]

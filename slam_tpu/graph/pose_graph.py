@@ -123,7 +123,7 @@ def _edge_measurement(graph: PoseGraph, i: jnp.ndarray, j: jnp.ndarray,
     t_diff = jnp.abs(angle_wrap(init_rel[2] - res.pose[2]))
     ok = res.ok & (x_diff <= gcfg.dist_move_thresh) & \
         (y_diff <= gcfg.dist_move_thresh) & \
-        (t_diff <= gcfg.rot_move_thresh) & (jnp.sum(w) >= 5)
+        (t_diff <= gcfg.rot_move_thresh) & (jnp.sum(w) >= gcfg.edge_min_corr)
 
     rel = jnp.concatenate([res.pose, (pj[3] - pi[3])[None]])
     info4 = jnp.zeros((4, 4), info3.dtype)

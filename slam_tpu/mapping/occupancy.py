@@ -63,15 +63,27 @@ def _cell_index(xy_local: jnp.ndarray, cfg: MlsConfig):
     return x, y, inb
 
 
+def _apply_counts_drivability(grid: OccupancyGrid, delta, touch,
+                              cfg: MlsConfig) -> OccupancyGrid:
+    """Shared occupancy tail (mls.cpp:118-142): apply the net count delta,
+    then flip drivability only for cells touched this scan — untouched cells
+    keep their flag. The reference evaluates per point; the net post-scan
+    count decides identically except exact-threshold ties."""
+    counts = grid.counts + delta
+    touched = touch > 0
+    occupied = touched & (counts > cfg.min_cluster_points)
+    free = touched & (counts < cfg.min_cluster_points)
+    drivable = jnp.where(occupied, jnp.int8(0),
+                         jnp.where(free, jnp.int8(1), grid.drivable))
+    return grid.replace(counts=counts, drivable=drivable)
+
+
 def add_to_occupancy(grid: OccupancyGrid, obstacle: PointCloud,
                      ground: PointCloud, cfg: MlsConfig) -> OccupancyGrid:
     """Occupancy update (mls.cpp:59-150): +increment per non-drivable obstacle
     point, -decrement per ground point, clamped drivability flags.
 
     Clouds are robot-centered / world-oriented (local_mapper path, mls.cpp:38-49).
-    Cells whose final count crosses min_cluster_points flip drivability; cells
-    untouched this scan keep their flag (the reference evaluates per point; the
-    net post-scan count decides identically except exact-threshold ties).
     """
     from slam_tpu.ops.scatter2d import scatter_add_2d
 
@@ -89,13 +101,7 @@ def add_to_occupancy(grid: OccupancyGrid, obstacle: PointCloud,
         jnp.full(ground.valid.shape, -cfg.occupancy_decrement)], 0)
     vals = jnp.stack([sign, jnp.ones_like(sign)], -1)
     acc = scatter_add_2d(x, y, vals, keep, (H, W))
-    counts = grid.counts + acc[..., 0]
-    touched = acc[..., 1] > 0
-    occupied = touched & (counts > cfg.min_cluster_points)
-    free = touched & (counts < cfg.min_cluster_points)
-    drivable = jnp.where(occupied, jnp.int8(0),
-                         jnp.where(free, jnp.int8(1), grid.drivable))
-    return grid.replace(counts=counts, drivable=drivable)
+    return _apply_counts_drivability(grid, acc[..., 0], acc[..., 1], cfg)
 
 
 def add_to_occupancy_xy(grid: OccupancyGrid, lx: jnp.ndarray, ly: jnp.ndarray,
@@ -111,13 +117,8 @@ def add_to_occupancy_xy(grid: OccupancyGrid, lx: jnp.ndarray, ly: jnp.ndarray,
     y = jnp.floor(ly / cfg.resolution).astype(jnp.int32) + cfg.size_y // 2
     keep = valid & (lx * lx + ly * ly <= cfg.max_range * cfg.max_range)
     (touch,) = scatter_add_2d_multi(x, y, (None,), keep, (H, W))
-    counts = grid.counts + touch * cfg.occupancy_increment
-    touched = touch > 0
-    occupied = touched & (counts > cfg.min_cluster_points)
-    free = touched & (counts < cfg.min_cluster_points)
-    drivable = jnp.where(occupied, jnp.int8(0),
-                         jnp.where(free, jnp.int8(1), grid.drivable))
-    return grid.replace(counts=counts, drivable=drivable)
+    return _apply_counts_drivability(
+        grid, touch * cfg.occupancy_increment, touch, cfg)
 
 
 def add_to_occupancy_xy2(grid: OccupancyGrid, ox, oy, ovalid, gx, gy, gvalid,
@@ -139,13 +140,7 @@ def add_to_occupancy_xy2(grid: OccupancyGrid, ox, oy, ovalid, gx, gy, gvalid,
     keep = jnp.concatenate([ovalid, gvalid]) & \
         (lx * lx + ly * ly <= cfg.max_range * cfg.max_range)
     delta, touch = scatter_add_2d_multi(x, y, (sign, None), keep, (H, W))
-    counts = grid.counts + delta
-    touched = touch > 0
-    occupied = touched & (counts > cfg.min_cluster_points)
-    free = touched & (counts < cfg.min_cluster_points)
-    drivable = jnp.where(occupied, jnp.int8(0),
-                         jnp.where(free, jnp.int8(1), grid.drivable))
-    return grid.replace(counts=counts, drivable=drivable)
+    return _apply_counts_drivability(grid, delta, touch, cfg)
 
 
 def occupancy_cloud(grid: OccupancyGrid, cfg: MlsConfig,

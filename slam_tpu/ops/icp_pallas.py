@@ -315,6 +315,31 @@ def make_icp_fused_planes(cfg: IcpConfig):
     return icp_fused_planes
 
 
+def fused_register(sx, sy, s_valid, s_ga, target_planes, map_cloud, pred,
+                   cfg: IcpConfig):
+    """Fused scan-to-map registration shared by the 2D and 3D pipelines:
+    unpack the target planes (from the map PointCloud when no pre-extracted
+    planes ride along), apply the +-crop_dist crop box as a validity mask
+    (the PassThrough crop, icpTools.cpp:226-239), and run the fused kernel.
+
+    target_planes: optional (mpx, mpy, mga, mvalid) tuple; falls back to
+    map_cloud's columns. Keeping this in one place pins the crop/class
+    encoding semantics identical across pipelines."""
+    if target_planes is None:
+        mpx = map_cloud.xyz[..., 0]
+        mpy = map_cloud.xyz[..., 1]
+        mga = map_cloud.is_ga()
+        mvalid = map_cloud.valid
+    else:
+        mpx, mpy, mga, mvalid = target_planes
+    d = cfg.crop_dist
+    inb = mvalid & (jnp.abs(mpx - pred[0]) <= d) & \
+        (jnp.abs(mpy - pred[1]) <= d)
+    return make_icp_fused_planes(cfg)(
+        sx, sy, encode_scene_class(s_valid, s_ga),
+        mpx, mpy, encode_model_class(inb, mga), pred)
+
+
 def _pack3(xy, valid, ga, invalid_code):
     """(N, 3) = [x, y, class]: reuses the xyz layout so no plane extraction."""
     c = jnp.where(ga, 1.0, 0.0)

@@ -122,34 +122,13 @@ def crop_box(cloud: PointCloud, center_xy: jnp.ndarray, half_extent: float
     return cloud.replace(valid=keep)
 
 
-def compact_matmul(cloud: PointCloud, out_capacity: int) -> PointCloud:
-    """Pack valid points to the front of a smaller buffer via a one-hot
-    matmul (TPU scatters cost ~35 ns/element; the MXU does this permutation
-    in one pass). Order-preserving; overflow drops the tail (the reference's
-    ICP_MAX_PTS truncation, icpTools.cpp:255-259).
-
-    Exact: each output row selects exactly one input (or none), and the
-    one-hot matmul runs at HIGHEST precision (f32 coordinates pass through
-    bit-exact up to addition of zeros)."""
-    import jax
-
-    N = cloud.xyz.shape[0]
-    dt = cloud.xyz.dtype
-    idx = jnp.cumsum(cloud.valid) - 1
-    slot = jnp.where(cloud.valid, idx, out_capacity)
-    onehot = (slot[None, :] == jnp.arange(out_capacity)[:, None]).astype(dt)
-    vals = jnp.concatenate(
-        [cloud.xyz, cloud.flags.astype(dt)[:, None],
-         jnp.ones((N, 1), dt)], axis=1)
-    out = jnp.matmul(onehot, vals, precision=jax.lax.Precision.HIGHEST)
-    valid = out[:, 4] > 0.5
-    return PointCloud(xyz=jnp.where(valid[:, None], out[:, :3], 0.0),
-                      valid=valid,
-                      flags=jnp.where(valid, out[:, 3].astype(jnp.int32), 0))
-
-
 def compact_planes(planes: tuple, valid: jnp.ndarray, out_capacity: int):
-    """Planar compact_matmul: (N,) value planes -> ((cap,) planes, out_valid).
+    """Pack valid entries to the front of a smaller buffer via a one-hot
+    matmul: (N,) value planes -> ((cap,) planes, out_valid). Order-preserving;
+    overflow drops the tail (the reference's ICP_MAX_PTS truncation,
+    icpTools.cpp:255-259). TPU scatters cost ~35 ns/element; the MXU does
+    this permutation in one pass, exactly (each output selects one input and
+    the contraction runs at HIGHEST precision).
 
     Same order-preserving one-hot permutation, but each channel is its own
     (cap, N) @ (N,) contraction — the stacked form's (N, 5) value matrix

@@ -315,23 +315,9 @@ def process_frame_planes(state: SlamState, scan_x, scan_y, hit, gyro, cmd,
         icp = icp_fit_grid(scene.xyz[..., :2], scene.valid, scene.is_ga(),
                            field, pred, cfg.icp)
     elif incremental_map and matcher == "fused":
-        from slam_tpu.ops.icp_pallas import (encode_model_class,
-                                             encode_scene_class,
-                                             make_icp_fused_planes)
-        if target_planes is None:
-            mpx = state.map_cloud.xyz[..., 0]
-            mpy = state.map_cloud.xyz[..., 1]
-            mga = state.map_cloud.is_ga()
-            mvalid = state.map_cloud.valid
-        else:
-            mpx, mpy, mga, mvalid = target_planes
-        # crop_box on planes (the +-crop_dist PassThrough, icpTools.cpp:226)
-        d = cfg.icp.crop_dist
-        inb = mvalid & (jnp.abs(mpx - pred[0]) <= d) & \
-            (jnp.abs(mpy - pred[1]) <= d)
-        icp = make_icp_fused_planes(cfg.icp)(
-            sx, sy, encode_scene_class(skeep, sga),
-            mpx, mpy, encode_model_class(inb, mga), pred)
+        from slam_tpu.ops.icp_pallas import fused_register
+        icp = fused_register(sx, sy, skeep, sga, target_planes,
+                             state.map_cloud, pred, cfg.icp)
     else:
         icp = register_scan(scene, state.map_cloud, pred, cfg,
                             reclassify=not incremental_map)

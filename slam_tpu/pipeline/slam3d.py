@@ -214,22 +214,9 @@ def process_frame_3d(state: SlamState, ground_map: GroundMap, scan_tilted,
     (ox, oy, oz, oga, odrv, ovalid), (gx, gy, gz, gvalid) = \
         build_scene_3d_planes(scan_xyz, hit, cfg)
     if cfg.icp.matcher == "fused" and jax.default_backend() == "tpu":
-        from slam_tpu.ops.icp_pallas import (encode_model_class,
-                                             encode_scene_class,
-                                             make_icp_fused_planes)
-        if target_planes is None:
-            mpx = state.map_cloud.xyz[..., 0]
-            mpy = state.map_cloud.xyz[..., 1]
-            mga = state.map_cloud.is_ga()
-            mvalid = state.map_cloud.valid
-        else:
-            mpx, mpy, mga, mvalid = target_planes
-        d = cfg.icp.crop_dist
-        inb = mvalid & (jnp.abs(mpx - pred[0]) <= d) & \
-            (jnp.abs(mpy - pred[1]) <= d)
-        icp = make_icp_fused_planes(cfg.icp)(
-            ox, oy, encode_scene_class(ovalid, oga),
-            mpx, mpy, encode_model_class(inb, mga), pred)
+        from slam_tpu.ops.icp_pallas import fused_register
+        icp = fused_register(ox, oy, ovalid, oga, target_planes,
+                             state.map_cloud, pred, cfg.icp)
     else:
         target = crop_box(state.map_cloud, pred[:2], cfg.icp.crop_dist)
         icp = icp_fit(jnp.stack([ox, oy], -1), ovalid, oga,
