@@ -143,7 +143,8 @@ def export_point_planes(grid: PointMapGrid, capacity: int,
     G = grid.count.shape[0]
     occ = grid.count >= min_count
     empty = (~occ).astype(jnp.float32)
-    box = neighbor_sum_2d(empty)   # banded matmuls beat pad+shift stencils
+    # 0/1 indicator raster: DEFAULT bf16 is exact (f32 accumulation)
+    box = neighbor_sum_2d(empty, precision=jax.lax.Precision.DEFAULT)
     ii = jnp.arange(G)
     interior = ((ii > 0) & (ii < G - 1))[:, None] & \
         ((ii > 0) & (ii < G - 1))[None, :]

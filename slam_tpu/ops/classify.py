@@ -10,6 +10,7 @@ stencil; the per-point flag is a gather.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from slam_tpu.types import PointCloud
@@ -30,7 +31,8 @@ def classify_ga_planes(px, py, valid, center_xy, num_bins: int,
     inb = (bx >= 0) & (by >= 0) & (bx < B) & (by < B) & valid
     (counts,) = scatter_add_2d_multi(bx, by, (None,), inb, (B, B))
     empty = (counts == 0).astype(jnp.float32)
-    box = neighbor_sum_2d(empty)
+    # 0/1 indicator raster: DEFAULT bf16 is exact (f32 accumulation)
+    box = neighbor_sum_2d(empty, precision=jax.lax.Precision.DEFAULT)
     ii = jnp.arange(B)
     interior = ((ii > 0) & (ii < B - 1))[:, None] & \
         ((ii > 0) & (ii < B - 1))[None, :]

@@ -30,17 +30,22 @@ def _band(n: int, radius: int):
     return jnp.asarray(_band_np(n, radius))
 
 
-def box_sum_2d(x: jnp.ndarray, radius: int = 1) -> jnp.ndarray:
-    """Sum over the (2r+1)^2 window (including self). x: (..., H, W)."""
+def box_sum_2d(x: jnp.ndarray, radius: int = 1,
+               precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+    """Sum over the (2r+1)^2 window (including self). x: (..., H, W).
+
+    Pass precision=DEFAULT (single-pass bf16) when x is a 0/1 indicator
+    raster: bf16 represents 0/1 exactly and the MXU accumulates in f32, so
+    the window counts are exact at a third of the matmul cost. Keep HIGHEST
+    for general float rasters (bf16 rounds the inputs)."""
     H, W = x.shape[-2:]
     bh = _band(H, radius)
     bw = _band(W, radius)
-    y = jnp.einsum("ij,...jw->...iw", bh, x,
-                   precision=jax.lax.Precision.HIGHEST)
-    return jnp.einsum("...iw,wk->...ik", y, bw,
-                      precision=jax.lax.Precision.HIGHEST)
+    y = jnp.einsum("ij,...jw->...iw", bh, x, precision=precision)
+    return jnp.einsum("...iw,wk->...ik", y, bw, precision=precision)
 
 
-def neighbor_sum_2d(x: jnp.ndarray, radius: int = 1) -> jnp.ndarray:
+def neighbor_sum_2d(x: jnp.ndarray, radius: int = 1,
+                    precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
     """Box sum excluding the center cell."""
-    return box_sum_2d(x, radius) - x
+    return box_sum_2d(x, radius, precision=precision) - x

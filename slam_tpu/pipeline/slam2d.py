@@ -115,7 +115,9 @@ def build_scene_planes(px: jnp.ndarray, py: jnp.ndarray, hit: jnp.ndarray,
     (counts,) = scatter_add_2d_multi(ci, cj, (None,), inb, (G, G),
                                      precision=prec)
     occ = counts > 0
-    box = neighbor_sum_2d((~occ).astype(jnp.float32))
+    # 0/1 indicator raster: DEFAULT bf16 is exact (f32 accumulation)
+    box = neighbor_sum_2d((~occ).astype(jnp.float32),
+                          precision=jax.lax.Precision.DEFAULT)
     ii = jnp.arange(G)
     interior = ((ii > 0) & (ii < G - 1))[:, None] & \
         ((ii > 0) & (ii < G - 1))[None, :]
