@@ -509,7 +509,13 @@ def mission_command(command: int, graph: PoseGraph, mls_cfg, capacity: int):
         return home_command(graph, mls_cfg, capacity)
     if command == FSM_INIT:
         return None  # reference INIT branch is empty (graph_slam.cpp:97-99)
-    raise ValueError(f"Unknown FSM command {command}")  # :147 warning
+    # unknown command (incl. FSM_FIX): warn and continue, matching the
+    # reference's non-fatal handler (graph_slam.cpp:147 ROS_WARN fallthrough)
+    import warnings
+    warnings.warn(f"Unknown FSM command {command}; ignored "
+                  "(graph_slam.cpp:147 semantics)", RuntimeWarning,
+                  stacklevel=2)
+    return None
 
 
 def regenerate_map(graph: PoseGraph, capacity: int,

@@ -103,7 +103,13 @@ def update_point_map_xy(grid: PointMapGrid, qx: jnp.ndarray, qy: jnp.ndarray,
     2D path, whose z is identically 0 — sum_z then passes through untouched,
     saving a full grid read-modify-write per tick). Equivalent to
     update_point_map on stacked xyz; planes avoid the lane-padded (N, small)
-    stack layouts (see se2_apply_xy)."""
+    stack layouts (see se2_apply_xy).
+
+    z_precision applies to the sum_z channel ONLY — intentionally, unlike
+    update_point_map which raised all channels: ox/oy are cell-relative
+    offsets bounded to +-resolution/2 (the PointMapGrid bf16-safety
+    contract), so DEFAULT keeps their scatter on the fast matmul path, while
+    sum_z accumulates ABSOLUTE world z and needs the HIGH pass."""
     from slam_tpu.ops.scatter2d import scatter_add_2d_multi
 
     G = grid.count.shape[0]

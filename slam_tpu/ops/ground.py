@@ -38,6 +38,12 @@ from slam_tpu.ops.linalg import cholesky_unrolled, forward_substitute
 from slam_tpu.types import PointCloud
 
 
+# bin-incidence ((N, S*L)) passes beat native serialized scatters at sim
+# scale but are memory-quadratic; beyond this element budget the O(N) native
+# scatter/gather engine takes over (reference scale: 20k pts x 72x200 bins)
+INCIDENCE_LIMIT = 1 << 25
+
+
 class GroundSegResult(NamedTuple):
     cloud: PointCloud          # flags: GROUND / DRIVABLE(-over); valid &= classified
     sector_sufficient: jnp.ndarray  # (S,) bool — model had >=2 seeds
@@ -70,47 +76,75 @@ def segment_ground(cloud: PointCloud, cfg: GroundSegConfig) -> GroundSegResult:
     ok = cloud.valid & (r3 < cfg.r_max) & (lbin >= 0) & (lbin < L)
     flat = jnp.where(ok, sector * L + lbin, S * L)
 
-    # --- per-bin stats via one (N, S*L) incidence matrix ---
-    # Native .at[].add/.at[].min scatters of N points into S*L+1 bins lower
-    # to serialized kCustom scatters (~8 ms/tick at batch 128); as masked
-    # reductions over the bin-incidence they are a few (N, S*L) VPU passes,
-    # and the same incidence drives the per-point table lookup matmul below.
-    inc = flat[:, None] == jnp.arange(S * L)[None, :]          # (N, K) bool
-    counts = jnp.sum(inc, axis=0, dtype=jnp.int32)             # (K,)
-    # lowest-z prototype; z quantized to mm so tie handling matches the
-    # reference's first-hit semantics exactly. Ok points have |z| <= r3 <
-    # r_max << 524 m, so mm quantization fits in 20 bits.
+    # --- per-bin stats ---
+    # Two engines, one semantics:
+    #   incidence: one (N, S*L) bin-incidence matrix drives counts,
+    #     prototype argmin, and the per-point table lookup matmul — a few
+    #     dense VPU/MXU passes, fastest at sim scale (native serialized
+    #     scatters measured ~8 ms/tick at batch 128 there);
+    #   native: .at[].add / .at[].min flat scatters + flat gathers — O(N),
+    #     the only tractable form at the reference's working point (a 20k+
+    #     point HDL-32E scan x the 72x200 polar grid would make the
+    #     incidence 295M elements).
     imax = jnp.iinfo(jnp.int32).max
+    # z quantized to mm so tie handling matches the reference's first-hit
+    # semantics exactly. Ok points have |z| <= r3 < r_max << 524 m, so mm
+    # quantization fits in 20 bits. Clip ceiling 2**20 - 2 (not -1): a
+    # maximal zq at the largest packable idx_bits would make key == imax,
+    # colliding with the invalid sentinel.
     zq = jnp.clip(jnp.round((z + 500.0) * 1000.0), 0,
-                  2**20 - 1).astype(jnp.int32)
+                  2**20 - 2).astype(jnp.int32)
     idx_bits = max(1, (N - 1).bit_length())
-    if idx_bits + 20 <= 31:  # key = zq << idx_bits | idx stays within int32
-        # single-pass lexicographic argmin: pack (zq, first-index tiebreak)
-        # into one int32 key — one (N, K) reduce_min picks the prototype
-        # point uniquely, replacing the 3-reduction min/lookup/argmin chain
-        # (~1 ms/tick at batch 128)
-        key = jnp.where(ok, zq * (1 << idx_bits)
-                        + jnp.arange(N, dtype=jnp.int32), imax)
-        key_min = jnp.min(jnp.where(inc, key[:, None], imax), axis=0)  # (K,)
-        chosen = (inc & (key[:, None] == key_min[None, :])).astype(z.dtype)
+    use_incidence = N * (S * L) <= INCIDENCE_LIMIT
+    if use_incidence:
+        inc = flat[:, None] == jnp.arange(S * L)[None, :]      # (N, K) bool
+        counts = jnp.sum(inc, axis=0, dtype=jnp.int32)         # (K,)
+        if idx_bits + 20 <= 31:  # key = zq << idx_bits | idx fits int32
+            # single-pass lexicographic argmin: pack (zq, first-index
+            # tiebreak) into one int32 key — one (N, K) reduce_min picks the
+            # prototype point uniquely, replacing the 3-reduction
+            # min/lookup/argmin chain (~1 ms/tick at batch 128)
+            key = jnp.where(ok, zq * (1 << idx_bits)
+                            + jnp.arange(N, dtype=jnp.int32), imax)
+            key_min = jnp.min(jnp.where(inc, key[:, None], imax), axis=0)
+            chosen = (inc & (key[:, None] == key_min[None, :])).astype(
+                z.dtype)
+        else:
+            # scans too large for the packed key: two-pass (min then match)
+            zq_ok = jnp.where(ok, zq, imax)
+            min_zq = jnp.min(jnp.where(inc, zq_ok[:, None], imax), axis=0)
+            min_at_pt = jnp.sum(jnp.where(inc, min_zq[None, :], 0), axis=1)
+            is_proto = ok & (zq_ok == min_at_pt)
+            proto_idx = jnp.min(
+                jnp.where(inc & is_proto[:, None],
+                          jnp.arange(N)[:, None], N),
+                axis=0)                                           # (K,)
+            chosen = (inc & is_proto[:, None] &
+                      (jnp.arange(N)[:, None] == proto_idx[None, :])).astype(
+                          z.dtype)
+        bin_count = counts.reshape(S, L)
+        # prototype coordinates via the chosen-point one-hot (r2[pidx]/
+        # z[pidx] index into the (N,) cloud — native row gathers serialize
+        # on TPU at this scale)
+        proto_r = jnp.sum(chosen * r2[:, None], axis=0).reshape(S, L)
+        proto_h = jnp.sum(chosen * z[:, None], axis=0).reshape(S, L)
     else:
-        # scans too large for the packed key: two-pass (min then match)
+        K = S * L
+        nidx = jnp.arange(N, dtype=jnp.int32)
+        counts = jnp.zeros(K + 1, jnp.int32).at[flat].add(1)
         zq_ok = jnp.where(ok, zq, imax)
-        min_zq = jnp.min(jnp.where(inc, zq_ok[:, None], imax), axis=0)
-        min_at_pt = jnp.sum(jnp.where(inc, min_zq[None, :], 0), axis=1)
-        is_proto = ok & (zq_ok == min_at_pt)
-        proto_idx = jnp.min(
-            jnp.where(inc & is_proto[:, None], jnp.arange(N)[:, None], N),
-            axis=0)                                               # (K,)
-        chosen = (inc & is_proto[:, None] &
-                  (jnp.arange(N)[:, None] == proto_idx[None, :])).astype(
-                      z.dtype)
-
-    bin_count = counts.reshape(S, L)
-    # prototype coordinates via the chosen-point one-hot (r2[pidx]/z[pidx]
-    # index into the (N,) cloud — native row gathers serialize on TPU)
-    proto_r = jnp.sum(chosen * r2[:, None], axis=0).reshape(S, L)
-    proto_h = jnp.sum(chosen * z[:, None], axis=0).reshape(S, L)
+        bin_minz = jnp.full(K + 1, imax, jnp.int32).at[flat].min(zq_ok)
+        is_proto = ok & (zq_ok == bin_minz[flat])
+        # first-index tiebreak among the bin's minima (reference first-hit)
+        pidx = jnp.where(is_proto, nidx, imax)
+        bin_pidx = jnp.full(K + 1, imax, jnp.int32).at[flat].min(pidx)
+        chosen_pt = is_proto & (nidx == bin_pidx[flat])           # (N,)
+        sel = chosen_pt.astype(z.dtype)
+        proto_r = jnp.zeros(K + 1, z.dtype).at[flat].add(
+            sel * r2)[:K].reshape(S, L)
+        proto_h = jnp.zeros(K + 1, z.dtype).at[flat].add(
+            sel * z)[:K].reshape(S, L)
+        bin_count = counts[:K].reshape(S, L)
     # a prototype exists iff the bin has any ok point, i.e. counts >= 1,
     # which the min-points gate subsumes (min_bin_points >= 1)
     sig_valid = bin_count > cfg.min_bin_points  # :211
@@ -190,17 +224,22 @@ def segment_ground(cloud: PointCloud, cfg: GroundSegConfig) -> GroundSegResult:
     # than C valid signals in a sector) drop their points like invalid bins
     bin_in = jnp.einsum("scl,sc->sl", P, sl_valid.astype(f_s.dtype)) > 0.5
 
-    # per-point lookups of the five bin tables as ONE one-hot matmul (native
-    # TPU gathers cost ~10 ms/table/step at batch 128; the MXU does all five
-    # in one pass, exactly, at HIGHEST precision). Reuses the bin incidence
-    # from the prototype pass — rows of out-of-range points are all-zero,
-    # which p_sig_valid's `ok` conjunction already excludes.
+    # per-point lookups of the five bin tables: one one-hot matmul at sim
+    # scale (native TPU gathers cost ~10 ms/table/step at batch 128; the MXU
+    # does all five in one pass, exactly, at HIGHEST precision); flat native
+    # gathers at reference scale (O(N) each). Rows/entries of out-of-range
+    # points are zero, which p_sig_valid's `ok` conjunction already excludes.
     table = jnp.stack([
         bin_in.astype(xyz.dtype), bin_model.astype(xyz.dtype), proto_h, bin_f,
         jnp.broadcast_to(sufficient[:, None], (S, L)).astype(xyz.dtype),
     ], axis=-1).reshape(S * L, 5)
-    g = jnp.matmul(inc.astype(xyz.dtype), table,
-                   precision=jax.lax.Precision.HIGHEST)
+    if use_incidence:
+        g = jnp.matmul(inc.astype(xyz.dtype), table,
+                       precision=jax.lax.Precision.HIGHEST)
+    else:
+        padded = jnp.concatenate(
+            [table, jnp.zeros((1, 5), table.dtype)], axis=0)   # (K+1, 5)
+        g = jnp.stack([padded[:, c][flat] for c in range(5)], axis=-1)
     p_sig_valid = ok & (g[:, 0] > 0.5)
     p_model = g[:, 1] > 0.5
     p_proto_h = g[:, 2]

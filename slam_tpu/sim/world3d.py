@@ -2,8 +2,8 @@
 fixture for BASELINE config 2 (ground segmentation + scan registration).
 
 Terrain is a smooth analytic heightfield (sum of sines) so ray-ground
-intersection needs no data structures: fixed-step march + bisection refine,
-fully vectorized over (rings x azimuths). Obstacles are vertical cylinders
+intersection needs no data structures: a coarse bracketing march followed by
+regula-falsi refinement, fully vectorized over (rings x azimuths). Obstacles are vertical cylinders
 with closed-form intersections. All pure jnp; vmappable over robots/worlds.
 """
 

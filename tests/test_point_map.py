@@ -57,3 +57,35 @@ def test_capacity_overflow_drops_tail():
     g = update_point_map(g, pts, jnp.ones(20, bool), 0.5)
     cloud = export_points(g, capacity=8)
     assert int(cloud.count()) == 8
+
+
+def test_dense_map_export_keeps_top_count_cells():
+    """Dense-map regression for the approx_max_k recall setting (ADVICE r2):
+    with occupied cells >> capacity, the export must still keep (nearly all
+    of) the highest-observation-count cells, not drop them to the
+    approximate reduction. 24x24 = 576 occupied cells vs capacity 128; the
+    128 'hot' cells get 9 observations each, the rest 1."""
+    import jax
+
+    g = init_point_map(64)
+    xs, ys = np.meshgrid(np.arange(24), np.arange(24))
+    base = np.stack([xs.ravel() * 0.5 + 0.1, ys.ravel() * 0.5 + 0.1,
+                     np.zeros(576)], axis=-1).astype(np.float32)
+    rng = np.random.RandomState(0)
+    hot = rng.choice(576, size=128, replace=False)
+    reps = [base]
+    for _ in range(8):
+        reps.append(base[hot])
+    pts = jnp.asarray(np.concatenate(reps, axis=0))
+    g = update_point_map(g, pts, jnp.ones(len(pts), bool), 0.5)
+    cloud = jax.jit(lambda gg: export_points(gg, capacity=128))(g)
+    v = np.asarray(cloud.valid)
+    assert v.sum() == 128
+    got = np.asarray(cloud.xyz)[v][:, :2]
+    want = base[hot][:, :2]
+    # cell-center match: count how many exported points are hot cells
+    hits = 0
+    for w in want:
+        if np.any(np.all(np.abs(got - w) < 0.2, axis=1)):
+            hits += 1
+    assert hits >= 0.9 * 128, f"only {hits}/128 hot cells survived export"
