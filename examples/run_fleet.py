@@ -22,6 +22,12 @@ def main():
                          "ok-rate, correspondences, residual)")
     ap.add_argument("--debug-nans", action="store_true",
                     help="raise at the first NaN produced under jit")
+    ap.add_argument("--matcher", default=None,
+                    choices=("fused", "points", "grid", "particle"),
+                    help="scan-to-map matching engine (default: config)")
+    ap.add_argument("--shared-map", action="store_true",
+                    help="merge the fleet's maps into one shared "
+                         "world-aligned grid each macro (BASELINE config 5)")
     args = ap.parse_args()
 
     from slam_tpu.config import sim2d_config
@@ -36,12 +42,42 @@ def main():
         metrics.nan_debug(True)
 
     cfg = sim2d_config()
+    if args.matcher:
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, icp=dataclasses.replace(cfg.icp, matcher=args.matcher))
     world = world2d.make_world(jax.random.PRNGKey(42), cfg.sim)
     keys = jax.random.split(jax.random.PRNGKey(0), args.batch)
     states = jax.vmap(lambda k: slam2d.init_state(k, cfg))(keys)
 
-    run = jax.jit(lambda s: jax.vmap(
-        lambda x: slam2d.rollout(x, world, cfg, args.steps))(s)[0])
+    if args.shared_map:
+        # BASELINE config 5: world-aligned per-robot grids, psum-merged into
+        # one shared map each 4-tick macro
+        import jax.numpy as jnp
+
+        from slam_tpu.parallel.shared_map import merge_maps
+
+        n_macro = max(1, args.steps // 4)
+
+        @jax.jit
+        def run(s):
+            def macro(ss, _):
+                def ticks(x):
+                    def tick(x2, _):
+                        return slam2d.slam_step(
+                            x2, world, cfg, refresh_map=False,
+                            shift_maps=False), None
+                    return jax.lax.scan(tick, x, None, length=4)[0]
+                ss = jax.vmap(ticks)(ss)
+                merged = merge_maps(ss.map_grid)
+                shared = jax.tree.map(
+                    lambda m: jnp.broadcast_to(
+                        m[None], (args.batch,) + m.shape), merged)
+                return ss.replace(map_grid=shared), None
+            return jax.lax.scan(macro, s, None, length=n_macro)[0]
+    else:
+        run = jax.jit(lambda s: jax.vmap(
+            lambda x: slam2d.rollout(x, world, cfg, args.steps))(s)[0])
     states = run(states)
     jax.block_until_ready(states.pose)
 

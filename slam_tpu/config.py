@@ -67,10 +67,12 @@ class IcpConfig:
     max_points: int = 20000              # icpTools.h:21 ICP_MAX_PTS per class
     max_iterations: int = 20             # icp.cpp:27 max_iter
     # scan-to-map matching engine:
-    #   "fused"  — whole ICP loop in one Pallas kernel vs the exported map
-    #              cloud (fastest on TPU; falls back to "points" off-TPU)
-    #   "points" — XLA brute-force NN vs the exported map cloud
-    #   "grid"   — jump-flooded nearest-centroid field over the map grid
+    #   "fused"    — whole ICP loop in one Pallas kernel vs the exported map
+    #                cloud (fastest on TPU; falls back to "points" off-TPU)
+    #   "points"   — XLA brute-force NN vs the exported map cloud
+    #   "grid"     — jump-flooded nearest-centroid field over the map grid
+    #   "particle" — particle-filter occupancy matching against the map grid
+    #                (BASELINE config 5 fleet variant; cfg.pf parameters)
     matcher: str = "fused"
     min_delta: float = 1e-6              # icp.cpp:27 min_delta convergence gate
     inlier_dist: float = 5.0             # icpTools.cpp:188 (fit(..., indist=5, ...))
@@ -80,6 +82,11 @@ class IcpConfig:
     ga_num_bins: int = 1200              # icpTools.h NUMBINSGA
     ga_resolution: float = 0.5           # icpTools.h RESOLUTION [m]
     ga_threshold: int = 2                # icpTools.h GRD_ADJ_THRESH (>=2 empty nbrs)
+    # scan-local voxelization grid for the scatter-based scene builder
+    # (ops/scene_grid.py): span = scan_grid_bins * ga_resolution, must cover
+    # the sensor range (ref RMAX 100 m, groundSegmentation.cpp:36 -> 512
+    # bins x 0.5 m = +-128 m)
+    scan_grid_bins: int = 512
     # voxel-downsample leaf sizes applied to the scene (icpTools.cpp:623,630)
     voxel_leaf_obs: Tuple[float, float, float] = (0.5, 0.5, 2.0)
     voxel_leaf_ground: Tuple[float, float, float] = (0.5, 0.5, 5.0)
@@ -141,6 +148,14 @@ class GraphConfig:
     rot_move_thresh: float = 0.2         # graphSlamTools.h:36 edge rejection [rad]
     lm_lambda: float = 1e-4              # LM damping for our batched GN solver
     loop_rate_hz: float = 10.0           # graph_slam.cpp:418
+    # scan-to-map target regeneration after each optimization:
+    #   "voxel" — keyframe clouds voxel-merged (regenerate_map; centroid
+    #             semantics match the MLS means at one cluster/cell, ~6x
+    #             cheaper — the default, justified in ARCHITECTURE.md)
+    #   "mls"   — the reference's exact dataflow: rebuild the global MLS and
+    #             export cluster means (graph_slam.cpp:260-280 ->
+    #             mls.cpp:520-555 getSegmentedClouds)
+    map_regen: str = "voxel"
     # relocalization loop-closure edge weight (global_match.cpp:40-41,193-195
     # COV_XY/COV_YAW; passed through as g2o information per the edge
     # factory's wiring, graph_slam.cpp:198-199 `info = gE.edgeInf`)
@@ -162,6 +177,18 @@ class GlobalMatchConfig:
     grid_size: int = 256                 # correlation grid cells
     grid_resolution: float = 0.5         # [m/cell]
     smooth_radius: int = 2               # map-raster dilation (likelihood field)
+
+
+@dataclasses.dataclass(frozen=True)
+class PfConfig:
+    """Particle-filter scan matching (BASELINE config 5's fleet matching
+    variant; the reference itself has no PF — see ops/particle.py)."""
+
+    num_particles: int = 128
+    pos_sigma: float = 0.3               # proposal spread around pred [m]
+    yaw_sigma: float = 0.05              # [rad]
+    temperature: float = 0.1             # softmax temp on hit fractions
+    min_score: float = 0.2               # acceptance gate (hit fraction)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -188,6 +215,11 @@ class CloudConfig:
     ground_capacity: int = 1024          # post-voxel ground points
     map_capacity: int = 4096             # scan-to-map target points
     min_scan_points: int = 0             # gates: ref 30k/20k; sim uses smaller scans
+    # scene voxelization engine: "incidence" = same-cell (N, N) pairwise
+    # matmuls (exact slot semantics, O(N^2) — sim scale); "grid" = scatter-
+    # to-grid + raster export (O(N) — reference scale, ops/scene_grid.py);
+    # "auto" picks grid beyond 4096-point scans
+    scene_builder: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -224,6 +256,7 @@ class SlamConfig:
     graph: GraphConfig = _fd(default_factory=GraphConfig)
     global_match: GlobalMatchConfig = _fd(default_factory=GlobalMatchConfig)
     sample_map: SampleMapConfig = _fd(default_factory=SampleMapConfig)
+    pf: PfConfig = _fd(default_factory=PfConfig)
     cloud: CloudConfig = _fd(default_factory=CloudConfig)
     sim: SimConfig = _fd(default_factory=SimConfig)
     dtype: str = "float32"
@@ -253,6 +286,42 @@ def sim2d_config() -> SlamConfig:
                                   ground_capacity=8, map_capacity=512),
         mls=dataclasses.replace(c.mls, size_x=192, size_y=192, resolution=0.5,
                                 max_range=50.0, update_dist=96),
+    )
+
+
+def ref_scale_config() -> SlamConfig:
+    """3D Velodyne config at the REFERENCE'S OWN WORKING POINT — the scales
+    the C++ stack actually gates on, not the sim-sized ones:
+
+      - scan: 32 rings x 640 azimuths = 20,480 rays, matching the >=20k-point
+        registration gate (scan_registration.cpp:122; the filter node wants
+        >=30k of a ~70k-point HDL-32E scan, pointcloud_filter.cpp:290)
+      - ground segmentation: the full 72 x 200 polar grid to 100 m
+        (groundSegmentation.h:17-18, RMAX groundSegmentation.cpp:36)
+      - ICP: up to 20k model points per class (ICP_MAX_PTS, icpTools.h:21),
+        inlier dist 5 m (icpTools.cpp:188), +-75 m crop (icpTools.cpp:230)
+      - maps: 0.5 m voxel leaves (icpTools.cpp:623), 384-cell grids covering
+        the +-75 m crop window
+
+    At these sizes the O(N^2)/incidence engines are off the table: the scene
+    builder routes to ops/scene_grid.py (scatter + raster export), ground
+    binning to the native-scatter engine (ops/ground.py INCIDENCE_LIMIT),
+    grid scatters to scatter_add_2d_native, and the fused ICP kernel to the
+    C-tiled streaming variant (ops/icp_pallas.py RESIDENT_TILE_LIMIT)."""
+    c = SlamConfig()
+    return dataclasses.replace(
+        c,
+        sim=dataclasses.replace(c.sim, num_azimuth=640, beam_max_range=100.0),
+        ground=dataclasses.replace(c.ground, signal_capacity=64),
+        icp=dataclasses.replace(c.icp, inlier_dist=5.0, max_points=20000,
+                                ga_num_bins=384),
+        cloud=dataclasses.replace(c.cloud, scan_capacity=20480,
+                                  scene_capacity=4096,
+                                  ground_capacity=20480,
+                                  map_capacity=40960,
+                                  scene_builder="grid"),
+        mls=dataclasses.replace(c.mls, size_x=384, size_y=384, resolution=0.5,
+                                max_range=100.0, update_dist=192),
     )
 
 

@@ -279,6 +279,260 @@ def _icp_batched_planes(sx, sy, sc, mx, my, mc, init, cfg: IcpConfig):
     )
 
 
+def _icp_kernel_tiled(max_iter: int, inlier_dist: float, min_delta: float,
+                      min_scene: int, s_blk: int, c_blk: int,
+                      sx_ref, sy_ref, sc_ref, mx_ref, my_ref, mc_ref,
+                      init_ref, out_ref):
+    """Reference-scale fit loop: the (S, C) distance work streams through
+    (s_blk, c_blk) blocks so VMEM holds only the six coordinate/class ROWS
+    (240 KB at 20k points) plus one block — never an (S, C) tile (1.6 GB at
+    20k x 20k f32, the round-2 VERDICT wall). SURVEY.md §7 hard part (c):
+    ICP correspondence at 20k x 20k without KD-trees, via Pallas tiling.
+
+    Per fit iteration (while_loop, early exit on convergence):
+      outer fori over S-chunks: transpose the (1, s_blk) scene slice to a
+        (s_blk, 1) column, transform by the carried pose;
+      inner fori over C-chunks: (s_blk, c_blk) squared distances with the
+        class penalty BIG*(sc-mc)^2 (exact for classes in {-1,0,1,2}),
+        merged into running (rowmin, tie-sum mx, tie-sum my, tie count)
+        carries — block ties merge exactly like the resident kernel's
+        whole-row ties (d2 values are computed identically, so equality
+        comparisons agree bit-for-bit);
+      then the same row-sum-factored Kabsch moments as _icp_core, summed
+      into ten scalar accumulators across S-chunks.
+
+    Semantics == _icp_core up to f32 summation order (chunked vs whole-row
+    reductions)."""
+    S = sx_ref.shape[-1]
+    C = mx_ref.shape[-1]
+    n_s = S // s_blk
+    n_c = C // c_blk
+
+    mc_row = mc_ref[0]                     # (1, C)
+    m_ga = jnp.sum(jnp.where(mc_row == 1.0, 1.0, 0.0))
+    m_nga = jnp.sum(jnp.where(mc_row == 0.0, 1.0, 0.0))
+    n_scene = jnp.sum(jnp.where(sc_ref[0] >= 0.0, 1.0, 0.0))
+    ok = (n_scene >= min_scene) & (m_ga + m_nga >= 5.0)
+    ga_on = jnp.where(m_ga > 3.0, 1.0, 0.0)
+    nga_on = jnp.where(m_nga > 3.0, 1.0, 0.0)
+
+    def iter_body(carry):
+        it, tx, ty, cth, sth, converged, ncorr, mres, delta = carry
+
+        def s_body(si, acc):
+            sl = pl.ds(si * s_blk, s_blk)
+            sxb = jnp.transpose(sx_ref[0, :, sl])            # (1,s) -> (s,1)
+            syb = jnp.transpose(sy_ref[0, :, sl])
+            scb = jnp.transpose(sc_ref[0, :, sl])
+            qx = cth * sxb - sth * syb + tx
+            qy = sth * sxb + cth * syb + ty
+            participate = jnp.where(scb >= 0.0, 1.0, 0.0) * \
+                jnp.where(scb == 1.0, ga_on, nga_on)
+
+            def c_body(ci, cc):
+                rowmin, sxa, sya, nt = cc
+                cl = pl.ds(ci * c_blk, c_blk)
+                mxc = mx_ref[0, :, cl]                         # (1, c)
+                myc = my_ref[0, :, cl]
+                mcc = mc_ref[0, :, cl]
+                dx = qx - mxc                                   # (s, c)
+                dy = qy - myc
+                pc = scb - mcc
+                d2 = dx * dx + dy * dy + BIG * (pc * pc)
+                m = jnp.min(d2, axis=1, keepdims=True)          # (s, 1)
+                sel = jnp.where(d2 <= m, 1.0, 0.0)
+                sxc = jnp.sum(sel * mxc, axis=1, keepdims=True)
+                syc = jnp.sum(sel * myc, axis=1, keepdims=True)
+                nc = jnp.sum(sel, axis=1, keepdims=True)
+                better = m < rowmin
+                equal = jnp.where(m == rowmin, 1.0, 0.0)
+                sxa = jnp.where(better, sxc, sxa + equal * sxc)
+                sya = jnp.where(better, syc, sya + equal * syc)
+                nt = jnp.where(better, nc, nt + equal * nc)
+                rowmin = jnp.minimum(rowmin, m)
+                return rowmin, sxa, sya, nt
+
+            z = jnp.zeros((s_blk, 1), jnp.float32)
+            rowmin, sxa, sya, nt = jax.lax.fori_loop(
+                0, n_c, c_body, (jnp.full((s_blk, 1), BIG, jnp.float32),
+                                 z, z, z))
+
+            w = participate * jnp.where(rowmin < inlier_dist, 1.0, 0.0)
+            inv_nt = 1.0 / jnp.maximum(nt, 1.0)
+            ux = w * sxa * inv_nt
+            uy = w * sya * inv_nt
+            (W, Swqx, Swqy, Sux, Suy, A00, A01, A10, A11, Sres) = acc
+            return (W + jnp.sum(w),
+                    Swqx + jnp.sum(w * qx), Swqy + jnp.sum(w * qy),
+                    Sux + jnp.sum(ux), Suy + jnp.sum(uy),
+                    A00 + jnp.sum(qx * ux), A01 + jnp.sum(qx * uy),
+                    A10 + jnp.sum(qy * ux), A11 + jnp.sum(qy * uy),
+                    Sres + jnp.sum(w * rowmin))
+
+        zf = jnp.float32(0.0)
+        (W, Swqx, Swqy, Sux, Suy, A00, A01, A10, A11, Sres) = \
+            jax.lax.fori_loop(0, n_s, s_body, (zf,) * 10)
+
+        # identical pose-update algebra to _icp_core's body
+        Ws = jnp.maximum(W, 1e-12)
+        mqx = Swqx / Ws
+        mqy = Swqy / Ws
+        mmx = Sux / Ws
+        mmy = Suy / Ws
+        H00 = A00 - W * mqx * mmx
+        H01 = A01 - W * mqx * mmy
+        H10 = A10 - W * mqy * mmx
+        H11 = A11 - W * mqy * mmy
+        a = H00 + H11
+        b = H01 - H10
+        rn = jax.lax.rsqrt(jnp.maximum(a * a + b * b, 1e-24))
+        c_ = a * rn
+        s_ = b * rn
+        t_x = mmx - (c_ * mqx - s_ * mqy)
+        t_y = mmy - (s_ * mqx + c_ * mqy)
+
+        ntx = c_ * tx - s_ * ty + t_x
+        nty = s_ * tx + c_ * ty + t_y
+        ncth = c_ * cth - s_ * sth
+        nsth = s_ * cth + c_ * sth
+        rnorm = jax.lax.rsqrt(jnp.maximum(ncth * ncth + nsth * nsth, 1e-24))
+        ncth = ncth * rnorm
+        nsth = nsth * rnorm
+        frob = jnp.sqrt(jnp.maximum(4.0 - 4.0 * c_, 0.0))
+        d = jnp.maximum(frob, jnp.sqrt(t_x * t_x + t_y * t_y))
+        has_corr = W > 0.0
+        d = jnp.where(has_corr, d, -1.0)
+        new_mres = Sres / Ws
+
+        upd = ~converged
+        go = upd & has_corr
+        tx = jnp.where(go, ntx, tx)
+        ty = jnp.where(go, nty, ty)
+        cth = jnp.where(go, ncth, cth)
+        sth = jnp.where(go, nsth, sth)
+        ncorr = jnp.where(upd, W, ncorr)
+        mres = jnp.where(upd, new_mres, mres)
+        delta = jnp.where(upd, d, delta)
+        converged = converged | (d < min_delta)
+        return (it + 1, tx, ty, cth, sth, converged, ncorr, mres, delta)
+
+    def cond(carry):
+        it, *_, converged, _n, _m, _d = carry
+        return (it < max_iter) & ~converged
+
+    init = (jnp.int32(0), init_ref[0, 0, 0], init_ref[0, 0, 1],
+            init_ref[0, 0, 2], init_ref[0, 0, 3],
+            ~ok, jnp.float32(0.0), jnp.float32(0.0), jnp.float32(jnp.inf))
+    _, tx, ty, cth, sth, _, ncorr, mres, delta = jax.lax.while_loop(
+        cond, iter_body, init)
+    tx = jnp.where(ok, tx, init_ref[0, 0, 0])
+    ty = jnp.where(ok, ty, init_ref[0, 0, 1])
+    cth = jnp.where(ok, cth, init_ref[0, 0, 2])
+    sth = jnp.where(ok, sth, init_ref[0, 0, 3])
+    out_ref[:] = jnp.stack([
+        tx, ty, cth, sth,
+        jnp.where(ok, 1.0, 0.0), ncorr, mres, delta,
+    ])[None, None, :]
+
+
+def _pad_plane(p, mult, fill):
+    n = p.shape[-1]
+    r = (-n) % mult
+    if r == 0:
+        return p
+    pad = [(0, 0)] * (p.ndim - 1) + [(0, r)]
+    return jnp.pad(p, pad, constant_values=fill)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "s_blk", "c_blk"))
+def _icp_batched_planes_tiled(sx, sy, sc, mx, my, mc, init, cfg: IcpConfig,
+                              s_blk: int = 256, c_blk: int = 2048):
+    """Tiled plane-operand batched call (large S x C). Pads S/C up to block
+    multiples: scene pads ride as class -1 (non-participating), model pads
+    as class 2 (invalid -> BIG penalty)."""
+    c_blk = min(c_blk, max(128, mx.shape[-1]))
+    s_blk = min(s_blk, max(8, sx.shape[-1]))
+    sx = _pad_plane(sx, s_blk, 0.0)
+    sy = _pad_plane(sy, s_blk, 0.0)
+    sc = _pad_plane(sc, s_blk, -1.0)
+    mx = _pad_plane(mx, c_blk, 0.0)
+    my = _pad_plane(my, c_blk, 0.0)
+    mc = _pad_plane(mc, c_blk, 2.0)
+    B, S = sx.shape
+    C = mx.shape[1]
+
+    kern = functools.partial(
+        _icp_kernel_tiled, cfg.max_iterations, cfg.inlier_dist,
+        cfg.min_delta, cfg.min_scene_points, s_blk, c_blk)
+
+    def row(n):
+        return pl.BlockSpec((1, 1, n), lambda b: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    i_spec = pl.BlockSpec((1, 1, 4), lambda b: (b, 0, 0),
+                          memory_space=pltpu.SMEM)
+    o_spec = pl.BlockSpec((1, 1, 8), lambda b: (b, 0, 0),
+                          memory_space=pltpu.VMEM)
+
+    init4 = jnp.stack([init[:, 0], init[:, 1],
+                       jnp.cos(init[:, 2]), jnp.sin(init[:, 2])], axis=-1)
+
+    out = pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=[row(S), row(S), row(S), row(C), row(C), row(C), i_spec],
+        out_specs=o_spec,
+        out_shape=jax.ShapeDtypeStruct((B, 1, 8), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
+    )(sx[:, None], sy[:, None], sc[:, None],
+      mx[:, None], my[:, None], mc[:, None], init4[:, None, :])
+
+    out = out[:, 0]
+    pose = jnp.stack([out[:, 0], out[:, 1],
+                      jnp.arctan2(out[:, 3], out[:, 2])], axis=-1)
+    return IcpResult(
+        pose=pose,
+        ok=(out[:, 4] > 0.5) & (out[:, 5] > 0),
+        num_corr=out[:, 5].astype(jnp.int32),
+        delta=out[:, 7],
+        mean_residual=out[:, 6],
+    )
+
+
+# resident-kernel ceiling: an (S, C) block plus temps must fit VMEM; beyond
+# this the tiled kernel streams blocks instead (2M f32 elements x ~4 live
+# temps = 32 MB)
+RESIDENT_TILE_LIMIT = 2 << 20
+
+
+@functools.lru_cache(maxsize=None)
+def make_icp_fused_planes_tiled(cfg: IcpConfig, s_blk: int = 256,
+                                c_blk: int = 2048):
+    """Tiled fused ICP (plane operands), custom_vmap'd like
+    make_icp_fused_planes; use when S*C > RESIDENT_TILE_LIMIT."""
+
+    @jax.custom_batching.custom_vmap
+    def icp_fused_tiled(sx, sy, sc, mx, my, mc, init_pose):
+        r = _icp_batched_planes_tiled(
+            sx[None], sy[None], sc[None], mx[None], my[None], mc[None],
+            init_pose[None], cfg, s_blk, c_blk)
+        return jax.tree.map(lambda x: x[0], r)
+
+    @icp_fused_tiled.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        def bcast(x, b):
+            return x if b else jnp.broadcast_to(x[None],
+                                                (axis_size,) + x.shape)
+
+        sx, sy, sc, mx, my, mc, init_pose = (
+            bcast(a, b) for a, b in zip(args, in_batched))
+        r = _icp_batched_planes_tiled(sx, sy, sc, mx, my, mc, init_pose,
+                                      cfg, s_blk, c_blk)
+        return r, jax.tree.map(lambda _: True, r)
+
+    return icp_fused_tiled
+
+
 def encode_scene_class(valid, ga):
     """Scene class plane: -1 pad/invalid, 0 NGA, 1 GA (f32)."""
     return jnp.where(valid, jnp.where(ga, 1.0, 0.0), -1.0)
@@ -324,7 +578,11 @@ def fused_register(sx, sy, s_valid, s_ga, target_planes, map_cloud, pred,
 
     target_planes: optional (mpx, mpy, mga, mvalid) tuple; falls back to
     map_cloud's columns. Keeping this in one place pins the crop/class
-    encoding semantics identical across pipelines."""
+    encoding semantics identical across pipelines.
+
+    Kernel choice: the VMEM-resident kernel up to RESIDENT_TILE_LIMIT
+    (S, C) elements, the streaming tiled kernel beyond (reference-scale
+    scans: 20k pts/class, icpTools.h:21)."""
     if target_planes is None:
         mpx = map_cloud.xyz[..., 0]
         mpy = map_cloud.xyz[..., 1]
@@ -335,7 +593,11 @@ def fused_register(sx, sy, s_valid, s_ga, target_planes, map_cloud, pred,
     d = cfg.crop_dist
     inb = mvalid & (jnp.abs(mpx - pred[0]) <= d) & \
         (jnp.abs(mpy - pred[1]) <= d)
-    return make_icp_fused_planes(cfg)(
+    S = sx.shape[-1]
+    C = mpx.shape[-1]
+    make = (make_icp_fused_planes_tiled if S * C > RESIDENT_TILE_LIMIT
+            else make_icp_fused_planes)
+    return make(cfg)(
         sx, sy, encode_scene_class(s_valid, s_ga),
         mpx, mpy, encode_model_class(inb, mga), pred)
 

@@ -50,10 +50,35 @@ def scatter_add_2d(cx: jnp.ndarray, cy: jnp.ndarray, values: jnp.ndarray,
     return out
 
 
+# one-hot scatters materialize an (N, H) + (N, W) transient and pay
+# O(N*H*W) matmul FLOPs; beyond this N*max(H,W) budget the native serialized
+# scatter (O(N) at ~35 ns/element) wins, and its transients stay O(N)
+ONEHOT_SCATTER_LIMIT = 1 << 22
+
+
+def scatter_add_2d_native(cx: jnp.ndarray, cy: jnp.ndarray, values: tuple,
+                          valid: jnp.ndarray, shape: tuple) -> tuple:
+    """Reference-scale planar scatter-add: native .at[].add into a flat
+    (H*W + 1,) buffer (invalid points dump into the trailing slot). O(N)
+    work/memory vs the one-hot path's O(N*(H+W)) transients — the right
+    trade at 20k+ point scans (pointcloud_filter.cpp:290 gates >=30k)."""
+    H, W = shape
+    inb = valid & (cx >= 0) & (cy >= 0) & (cx < H) & (cy < W)
+    flat = jnp.where(inb, cx * W + cy, H * W)
+    outs = []
+    for v in values:
+        vv = jnp.where(inb, 1.0 if v is None else v, 0.0)
+        acc = jnp.zeros(H * W + 1, jnp.float32).at[flat].add(
+            vv.astype(jnp.float32))
+        outs.append(acc[:H * W].reshape(H, W))
+    return tuple(outs)
+
+
 def scatter_add_2d_multi(cx: jnp.ndarray, cy: jnp.ndarray, values: tuple,
                          valid: jnp.ndarray, shape: tuple,
                          precision=jax.lax.Precision.DEFAULT,
-                         precisions: tuple | None = None) -> tuple:
+                         precisions: tuple | None = None,
+                         impl: str = "auto") -> tuple:
     """Planar scatter-add: per-channel (N,) value planes -> tuple of (H, W)
     grids. Same one-hot factorization as scatter_add_2d, but channels never
     stack into an (N, C) array (whose minor dim XLA lane-pads to 128) — each
@@ -62,8 +87,17 @@ def scatter_add_2d_multi(cx: jnp.ndarray, cy: jnp.ndarray, values: tuple,
 
     precisions: optional per-channel precision overrides (None entries fall
     back to `precision`) — absolute-coordinate channels (e.g. world z) need
-    more than DEFAULT's bf16 inputs."""
+    more than DEFAULT's bf16 inputs.
+
+    impl: "onehot" (MXU matmuls, exact at f32), "native" (serialized TPU
+    scatter, O(N), f32), or "auto" — one-hot until N*max(H,W) exceeds
+    ONEHOT_SCATTER_LIMIT, native beyond (reference-scale scans)."""
     H, W = shape
+    if impl == "auto":
+        impl = ("native" if cx.shape[0] * max(H, W) > ONEHOT_SCATTER_LIMIT
+                else "onehot")
+    if impl == "native":
+        return scatter_add_2d_native(cx, cy, values, valid, shape)
     inb = valid & (cx >= 0) & (cy >= 0) & (cx < H) & (cy < W)
     X = _onehot(jnp.clip(cx, 0, H - 1), H, inb)           # (N, H)
     Y = _onehot(jnp.clip(cy, 0, W - 1), W, inb)           # (N, W)
@@ -77,15 +111,27 @@ def scatter_add_2d_multi(cx: jnp.ndarray, cy: jnp.ndarray, values: tuple,
 
 
 def gather_cells_2d(grids: jnp.ndarray, ci: jnp.ndarray, cj: jnp.ndarray,
-                    precision=jax.lax.Precision.DEFAULT) -> jnp.ndarray:
+                    precision=jax.lax.Precision.DEFAULT,
+                    impl: str = "auto") -> jnp.ndarray:
     """Gather per-cell channel vectors grids[ci[n], cj[n], :] -> (N, C) via
     one-hot matmuls — TPU native gathers cost ~20 ns/element (a 512-point
     export gathered 4 channels for ~42 ms/step at batch 1024); as matmuls
-    the MXU does it in a few ms. grids: (H, W, C)."""
+    the MXU does it in a few ms. grids: (H, W, C). Beyond
+    ONEHOT_SCATTER_LIMIT (N*max(H,W)) the per-channel native flat gather is
+    cheaper (O(N*C)) than the one-hot transients — impl="auto" switches."""
     H, W, C = grids.shape
     N = ci.shape[0]
-    X = _onehot(jnp.clip(ci, 0, H - 1), H, jnp.ones(N, bool))   # (N, H)
-    Y = _onehot(jnp.clip(cj, 0, W - 1), W, jnp.ones(N, bool))   # (N, W)
+    if impl == "auto":
+        impl = ("native" if N * max(H, W) > ONEHOT_SCATTER_LIMIT
+                else "onehot")
+    ci = jnp.clip(ci, 0, H - 1)
+    cj = jnp.clip(cj, 0, W - 1)
+    if impl == "native":
+        flat = ci * W + cj
+        g2 = grids.reshape(H * W, C)
+        return jnp.stack([g2[:, c][flat] for c in range(C)], axis=-1)
+    X = _onehot(ci, H, jnp.ones(N, bool))   # (N, H)
+    Y = _onehot(cj, W, jnp.ones(N, bool))   # (N, W)
     A = jnp.einsum("nh,hwc->nwc", X, grids, precision=precision)
     return jnp.einsum("nwc,nw->nc", A, Y, precision=precision)
 

@@ -80,9 +80,23 @@ def build_scene_planes(px: jnp.ndarray, py: jnp.ndarray, hit: jnp.ndarray,
     A scan has <= scan_capacity points, so voxelization is a same-cell
     pairwise (N, N) matmul — exact per-cell centroids with first-point-keeps
     dedupe, no sort/top-k (grid export cost ~12 ms/step at batch 1024).
-    GA flags come from a count raster + banded stencil + one matmul-gather."""
+    GA flags come from a count raster + banded stencil + one matmul-gather.
+
+    Reference-scale scans (>=20k points, scan_registration.cpp:122) route to
+    the O(N) scatter-to-grid builder instead (cfg.cloud.scene_builder)."""
     from slam_tpu.ops.scatter2d import gather_cells_2d, scatter_add_2d_multi
     from slam_tpu.ops.stencil import neighbor_sum_2d
+
+    builder = cfg.cloud.scene_builder
+    if builder == "auto":
+        builder = "grid" if px.shape[0] > 4096 else "incidence"
+    if builder == "grid":
+        from slam_tpu.ops.scene_grid import build_scene_grid_planes
+        sx, sy, _, ga, _, keep = build_scene_grid_planes(
+            px, py, None, hit, None, cfg.cloud.scene_capacity,
+            cfg.icp.ga_resolution, cfg.icp.scan_grid_bins,
+            cfg.icp.ga_threshold)
+        return sx, sy, ga, keep
 
     res = cfg.icp.ga_resolution
     G = cfg.icp.ga_num_bins
@@ -316,6 +330,19 @@ def process_frame_planes(state: SlamState, scan_x, scan_y, hit, gyro, cmd,
                                         cfg.icp.ga_threshold)
         icp = icp_fit_grid(scene.xyz[..., :2], scene.valid, scene.is_ga(),
                            field, pred, cfg.icp)
+    elif incremental_map and matcher == "particle":
+        from slam_tpu.ops.icp import IcpResult
+        from slam_tpu.ops.particle import pf_match
+        # fold the step index in so external-frame replay (whose state.rng
+        # is never advanced by a simulator) still gets fresh proposals
+        pf_key = jax.random.fold_in(state.rng, state.step)
+        r = pf_match(pf_key, state.map_grid, scene, pred,
+                     cfg.icp.voxel_leaf_obs[0], cfg.pf)
+        n_valid = jnp.sum(skeep)
+        icp = IcpResult(
+            pose=r.pose, ok=r.ok,
+            num_corr=jnp.round(r.score * n_valid).astype(jnp.int32),
+            delta=jnp.float32(0.0), mean_residual=1.0 - r.score)
     elif incremental_map and matcher == "fused":
         from slam_tpu.ops.icp_pallas import fused_register
         icp = fused_register(sx, sy, skeep, sga, target_planes,
@@ -392,6 +419,7 @@ def rollout(state: SlamState, world: World2D, cfg: SlamConfig, num_steps: int,
     multiple."""
     num_macro = -(-num_steps // field_every)
     use_grid = cfg.icp.matcher == "grid"
+    use_pf = cfg.icp.matcher == "particle"
     if use_grid:
         from slam_tpu.ops.grid_icp import nearest_point_field
 
@@ -401,7 +429,7 @@ def rollout(state: SlamState, world: World2D, cfg: SlamConfig, num_steps: int,
         if use_grid:
             field = nearest_point_field(s.map_grid, cfg.icp.voxel_leaf_obs[0],
                                         cfg.icp.ga_threshold)
-        else:
+        elif not use_pf:  # particle matching scores the grid directly
             from slam_tpu.mapping.point_map import export_point_planes
             ex, ey, ez, ega, evalid = export_point_planes(
                 s.map_grid, s.map_cloud.capacity,
@@ -455,11 +483,22 @@ def graph_update(state: SlamState, cfg: SlamConfig) -> SlamState:
         added & (graph.num_edges > 0), do_opt,
         lambda g: (g, jnp.zeros(4, state.pose.dtype)), graph)
 
+    if cfg.graph.map_regen == "mls":
+        # reference dataflow: global MLS rebuild -> cluster means as the
+        # registration target (graph_slam.cpp:260-280, mls.cpp:520-555);
+        # the 2D path has no ground class, so the obstacle export is the
+        # whole target
+        def regen(g):
+            obs, _gnd, _grid = pg.regenerate_map_mls(
+                g, cfg.mls, state.map_cloud.capacity)
+            return obs
+    else:
+        def regen(g):
+            return pg.regenerate_map(g, state.map_cloud.capacity,
+                                     cfg.icp.voxel_leaf_obs)
+
     map_cloud = jax.lax.cond(
-        added,
-        lambda g: pg.regenerate_map(g, state.map_cloud.capacity,
-                                    cfg.icp.voxel_leaf_obs),
-        lambda g: state.map_cloud, graph)
+        added, regen, lambda g: state.map_cloud, graph)
 
     from slam_tpu.utils import metrics
     metrics.emit("graph_update", added=added, num_nodes=graph.num_nodes,

@@ -86,6 +86,19 @@ def build_scene_3d_planes(scan_xyz, hit, cfg: SlamConfig):
     x, y, z = scan_xyz[..., 0], scan_xyz[..., 1], scan_xyz[..., 2]
     drv = ((seg.cloud.flags & PointCloud.FLAG_DRIVABLE) != 0).astype(x.dtype)
 
+    builder = cfg.cloud.scene_builder
+    if builder == "auto":
+        builder = "grid" if x.shape[0] > 4096 else "incidence"
+    if builder == "grid":
+        # reference-scale path: one O(N) scatter voxelization replaces the
+        # compact -> GA-classify -> (n, n) pairwise voxel chain below
+        from slam_tpu.ops.scene_grid import build_scene_grid_planes
+        ox, oy, oz, oga, odrv_b, okeep = build_scene_grid_planes(
+            x, y, z, obstacle, drv, cfg.cloud.scene_capacity,
+            cfg.icp.ga_resolution, cfg.icp.scan_grid_bins,
+            cfg.icp.ga_threshold)
+        return (ox, oy, oz, oga, odrv_b, okeep), (x, y, z, ground)
+
     (ox, oy, oz, odrv), ovalid = compact_planes(
         (x, y, z, drv), obstacle, cfg.cloud.scene_capacity)
     oga = classify_ga_planes(ox, oy, ovalid, jnp.zeros(2),
@@ -130,7 +143,7 @@ def build_scene_3d(scan_xyz, hit, cfg: SlamConfig):
 
 def slam_step_3d(state: SlamState, world: World3D, ground_map: GroundMap,
                  cfg: SlamConfig, refresh_map: bool = True,
-                 shift_maps: bool = True, target_planes=None):
+                 shift_maps: bool = True, target_planes=None, field=None):
     """One simulated 3D SLAM tick: drive on terrain, sense (the robot tilts
     with the surface), then process the frame. Returns (state, ground_map).
     """
@@ -152,7 +165,7 @@ def slam_step_3d(state: SlamState, world: World3D, ground_map: GroundMap,
     new_state, gm = process_frame_3d(
         state, ground_map, scan_tilted, hit, roll + imu_noise[0],
         pitch + imu_noise[1], gyro, cmd, cfg, refresh_map=refresh_map,
-        shift_maps=shift_maps, target_planes=target_planes)
+        shift_maps=shift_maps, target_planes=target_planes, field=field)
     return new_state.replace(
         true_pose=jnp.concatenate([true2, true_z[None]]), rng=key), gm
 
@@ -171,7 +184,7 @@ def slam_step_3d_io(state: SlamState, ground_map: GroundMap, scan_tilted,
 def process_frame_3d(state: SlamState, ground_map: GroundMap, scan_tilted,
                      hit, roll, pitch, gyro, cmd, cfg: SlamConfig,
                      refresh_map: bool = True, shift_maps: bool = True,
-                     target_planes=None):
+                     target_planes=None, field=None):
     """Sensor frame -> updated (state, ground_map): IMU tilt compensation ->
     EKF predict/gyro -> GP-INSAC scene -> registration -> height
     interpolation -> maps. Point data stays planar end to end (see
@@ -213,7 +226,15 @@ def process_frame_3d(state: SlamState, ground_map: GroundMap, scan_tilted,
     # --- segmentation + registration ---
     (ox, oy, oz, oga, odrv, ovalid), (gx, gy, gz, gvalid) = \
         build_scene_3d_planes(scan_xyz, hit, cfg)
-    if cfg.icp.matcher == "fused" and jax.default_backend() == "tpu":
+    if cfg.icp.matcher == "grid":
+        from slam_tpu.ops.grid_icp import icp_fit_grid, nearest_point_field
+        if field is None:
+            field = nearest_point_field(state.map_grid,
+                                        cfg.icp.voxel_leaf_obs[0],
+                                        cfg.icp.ga_threshold)
+        icp = icp_fit_grid(jnp.stack([ox, oy], -1), ovalid, oga, field,
+                           pred, cfg.icp)
+    elif cfg.icp.matcher == "fused" and jax.default_backend() == "tpu":
         from slam_tpu.ops.icp_pallas import fused_register
         icp = fused_register(ox, oy, ovalid, oga, target_planes,
                              state.map_cloud, pred, cfg.icp)
@@ -313,6 +334,8 @@ def rollout_3d(state: SlamState, world: World3D, ground_map, cfg: SlamConfig,
                                cloud=ground_map)
     num_macro = -(-num_steps // field_every)
 
+    use_grid_matcher = cfg.icp.matcher == "grid"
+
     def macro(carry, _):
         from slam_tpu.mapping.point_map import export_point_planes
         from slam_tpu.pipeline.slam2d import planes_to_cloud
@@ -323,18 +346,27 @@ def rollout_3d(state: SlamState, world: World3D, ground_map, cfg: SlamConfig,
             local_map=shift_origin(s.local_map, s.pose[:2], cfg.mls))
         gm = GroundMap(grid=shift_point_map(gm.grid, s.pose[:2]),
                        cloud=gm.cloud)
-        ex, ey, ez, ega, evalid = export_point_planes(
-            s.map_grid, s.map_cloud.capacity,
-            ga_threshold=cfg.icp.ga_threshold)
-        planes = (ex, ey, ega, evalid)
-        s = s.replace(map_cloud=planes_to_cloud(ex, ey, ega, evalid, ez))
+        field = None
+        if use_grid_matcher:
+            from slam_tpu.ops.grid_icp import nearest_point_field
+            field = nearest_point_field(s.map_grid,
+                                        cfg.icp.voxel_leaf_obs[0],
+                                        cfg.icp.ga_threshold)
+            planes = None
+        else:
+            ex, ey, ez, ega, evalid = export_point_planes(
+                s.map_grid, s.map_cloud.capacity,
+                ga_threshold=cfg.icp.ga_threshold)
+            planes = (ex, ey, ega, evalid)
+            s = s.replace(map_cloud=planes_to_cloud(ex, ey, ega, evalid, ez))
         gm = GroundMap(grid=gm.grid,
                        cloud=export_points(gm.grid, gm.cloud.capacity))
 
         def tick(c, _):
             ss, g = c
             ss, g = slam_step_3d(ss, world, g, cfg, refresh_map=False,
-                                 shift_maps=False, target_planes=planes)
+                                 shift_maps=False, target_planes=planes,
+                                 field=field)
             return (ss, g), (ss.pose, ss.true_pose)
 
         (s, gm), traj = jax.lax.scan(tick, (s, gm), None, length=field_every)

@@ -48,3 +48,29 @@ def test_graph_rollout_vmappable():
     out = step(states)
     assert out.graph.num_nodes.shape == (B,)
     assert int(out.graph.num_nodes[0]) == 1
+
+
+def test_graph_rollout_mls_target_path():
+    """The reference-faithful MLS cluster-mean target path (map_regen="mls",
+    graph_slam.cpp:260-280 -> mls.cpp:520-555) in the full graph loop, vs
+    the default voxel-merge variant: both must track; their ATEs must be in
+    the same regime (the targets are both per-cell means of the same
+    keyframe points — see ARCHITECTURE.md for why voxel is the default)."""
+    import dataclasses
+
+    cfg_v = _cfg()
+    cfg_m = dataclasses.replace(
+        cfg_v, graph=dataclasses.replace(cfg_v.graph, map_regen="mls"))
+    world = world2d.make_world(jax.random.PRNGKey(42), cfg_v.sim)
+    state = slam2d.init_state(jax.random.PRNGKey(0), cfg_v, with_graph=True)
+    _, (est_v, true_v) = slam2d.rollout_with_graph(state, world, cfg_v,
+                                                   num_macro=10,
+                                                   graph_every=4)
+    _, (est_m, true_m) = slam2d.rollout_with_graph(state, world, cfg_m,
+                                                   num_macro=10,
+                                                   graph_every=4)
+    ate_v = float(slam2d.ate(est_v[8:], true_v[8:]))
+    ate_m = float(slam2d.ate(est_m[8:], true_m[8:]))
+    assert ate_v < 0.5 and ate_m < 0.5, (ate_v, ate_m)
+    # same regime: neither path degrades tracking by more than 3x + 5 cm
+    assert ate_m < 3.0 * ate_v + 0.05, (ate_v, ate_m)

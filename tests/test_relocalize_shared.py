@@ -99,3 +99,50 @@ def test_shared_map_psum_on_mesh():
     np.testing.assert_allclose(np.asarray(merged.count), np.asarray(ref.count))
     np.testing.assert_allclose(np.asarray(merged.sum_x), np.asarray(ref.sum_x),
                                atol=1e-5)
+
+
+def test_fleet_particle_matcher_shared_map_tracks():
+    """BASELINE config 5's named variant end-to-end: particle-filter scan
+    matching (cfg.icp.matcher="particle", ops/particle.py) with the fleet's
+    observations merged into one shared world-aligned map each macro
+    (merge_maps psum semantics). The fleet must keep tracking on the shared
+    map (ATE bounded), and the merged grid must contain every robot's
+    contributions."""
+    cfg = sim2d_config()
+    cfg = dataclasses.replace(
+        cfg, icp=dataclasses.replace(cfg.icp, matcher="particle"))
+    world = world2d.make_world(jax.random.PRNGKey(42), cfg.sim)
+    B = 4
+    keys = jax.random.split(jax.random.PRNGKey(7), B)
+    states = jax.vmap(lambda k: slam2d.init_state(k, cfg))(keys)
+
+    @jax.jit
+    def macro(ss):
+        # world-aligned grids: no rolling shifts, no cloud export (the PF
+        # scores the grid directly)
+        def ticks(s):
+            def tick(s2, _):
+                s2 = slam2d.slam_step(s2, world, cfg, refresh_map=False,
+                                      shift_maps=False)
+                return s2, (s2.pose[:3], s2.true_pose[:3])
+            return jax.lax.scan(tick, s, None, length=4)
+        ss, traj = jax.vmap(ticks)(ss)
+        merged = merge_maps(ss.map_grid)
+        shared = jax.tree.map(
+            lambda m: jnp.broadcast_to(m[None], (B,) + m.shape), merged)
+        return ss.replace(map_grid=shared), traj
+
+    est_all, true_all = [], []
+    for _ in range(8):
+        states, (est, true) = macro(states)
+        est_all.append(np.asarray(est))
+        true_all.append(np.asarray(true))
+    est = np.concatenate(est_all, axis=1)    # (B, T, 3)
+    true = np.concatenate(true_all, axis=1)
+    err = est[:, 8:, :2] - true[:, 8:, :2]
+    ate = np.sqrt((err ** 2).sum(-1).mean())
+    assert np.isfinite(ate) and ate < 0.5, ate
+    # the shared grid holds everyone's observations
+    assert float(states.map_grid.count[0].sum()) > 0
+    np.testing.assert_allclose(np.asarray(states.map_grid.count[0]),
+                               np.asarray(states.map_grid.count[-1]))
