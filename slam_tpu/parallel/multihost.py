@@ -54,9 +54,14 @@ def make_fleet_mesh(sp: int = 1, hosts: int | None = None) -> Mesh:
         try:
             from jax.experimental import mesh_utils
             per_host = n // jax.process_count()
+            # process_is_granule: a DCN granule is one HOST process (our dp-
+            # across-hosts topology), not a TPU slice — and it is the only
+            # granule CPU devices can report (no slice_index attribute),
+            # which the 2-process integration test relies on
+            # (tests/test_two_process_distributed.py)
             arr = mesh_utils.create_hybrid_device_mesh(
                 (per_host // sp, sp), (jax.process_count(), 1),
-                devices=devices)
+                devices=devices, process_is_granule=True)
             return Mesh(arr, axis_names=("dp", "sp"))
         except Exception:
             pass  # fall through to the contiguous layout
