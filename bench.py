@@ -1,27 +1,42 @@
 """Benchmark harness: full SLAM steps/sec on real TPU hardware.
 
-Measures the fused per-scan pipelines vmapped across a robot fleet on one
-chip and reports aggregate robot-steps/sec:
+Covers every BASELINE.json config plus batch-1 latency and the
+reference-scale working point:
 
-  - 2D (BASELINE config 1): scene build + class-constrained ICP + EKF fuse +
-    occupancy grid update, 360-beam scans, batch 1024.
-  - 3D (BASELINE config 2): Velodyne raycast + GP-INSAC ground segmentation +
-    class-constrained ICP + height interpolation + obstacle/ground point maps
-    + occupancy, batch 128.
+  headline  config 1 — 2D: scene build + class-constrained ICP + EKF fuse +
+            occupancy update, 360-beam scans, batch 1024
+  extras    config 2 — 3D Velodyne: GP-INSAC + ICP + height interpolation +
+            obstacle/ground maps + occupancy, batch 128
+            config 3 — MLS cluster mapping + FFT correlative relocalization
+            in the loop (global_matching role), batch 256
+            config 4 — full graph SLAM loop (keyframes, edge ICP, batched
+            GN, map regeneration), batch 256
+            config 5 — fleet with particle-filter matching + shared map
+            (psum-merged world-aligned grids), batch 1024
+            batch-1   — config-1 single-robot latency (ms/step)
+            ref-scale — config 2 at the REFERENCE's working point: 20,480-
+            point scans, 72x200 polar grid, 20k pts/class ICP budget
+
+Before timing, a kernel guard re-derives the fused Pallas ICP result
+against the XLA reference on a fixed problem and REFUSES to emit a number
+on disagreement (a silent Pallas regression must fail the artifact, not
+skew it).
 
 Baseline target (BASELINE.json): >=10,000 full SLAM steps/sec across 1024
 batched robots on v5e-8. vs_baseline is measured single-chip throughput
-against that full 8-chip target (1.0 == hitting the 8-chip number on 1 chip).
+against that full 8-chip target (1.0 == hitting the 8-chip number on 1
+chip).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"} —
-the headline stays the 2D number; the 3D number rides in "extra" so the
-driver artifact captures both (VERDICT r1 item 3).
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
 
 import argparse
+import dataclasses
 import functools
 import json
+import sys
 import time
+import traceback
 
 import jax
 import jax.numpy as jnp
@@ -38,6 +53,53 @@ def _timed_rate(run_block, states, batch, steps, repeats):
         dt = time.perf_counter() - t0
         best = max(best, batch * steps / dt)
     return best
+
+
+def kernel_guard():
+    """Fused-kernel equivalence gate (VERDICT r2 item 10): resident AND
+    tiled Pallas kernels vs XLA icp_fit on a fixed problem. Raises on
+    disagreement so the bench artifact is never emitted from a silently
+    regressed kernel. TPU only (the kernels don't run elsewhere)."""
+    if jax.default_backend() != "tpu":
+        return "skipped (not on TPU)"
+    import numpy as np
+
+    from slam_tpu.config import IcpConfig
+    from slam_tpu.ops import icp_pallas as ip
+    from slam_tpu.ops.icp import icp_fit
+
+    cfg = IcpConfig(max_iterations=10, inlier_dist=2.0, min_delta=1e-6)
+    rng = np.random.RandomState(7)
+    C, S = 768, 384
+    mx = rng.uniform(-20, 20, C).astype(np.float32)
+    my = rng.uniform(-20, 20, C).astype(np.float32)
+    mga = rng.rand(C) < 0.4
+    mvalid = rng.rand(C) < 0.95
+    idx = rng.choice(C, S)
+    th = 0.04
+    c0, s0 = np.cos(th), np.sin(th)
+    sx0 = mx[idx] + rng.normal(0, 0.03, S).astype(np.float32)
+    sy0 = my[idx] + rng.normal(0, 0.03, S).astype(np.float32)
+    sx = jnp.asarray(c0 * (sx0 - 0.2) + s0 * (sy0 + 0.1))
+    sy = jnp.asarray(-s0 * (sx0 - 0.2) + c0 * (sy0 + 0.1))
+    sc = ip.encode_scene_class(jnp.asarray(rng.rand(S) < 0.97),
+                               jnp.asarray(mga[idx]))
+    mc = ip.encode_model_class(jnp.asarray(mvalid), jnp.asarray(mga))
+    init = jnp.zeros(3, jnp.float32)
+    ref = icp_fit(jnp.stack([sx, sy], -1), sc >= 0, sc == 1.0,
+                  jnp.stack([jnp.asarray(mx), jnp.asarray(my)], -1),
+                  mc < 2.0, mc == 1.0, init, cfg)
+    rj = np.asarray(ref.pose)
+    for name, fn in (("resident", ip.make_icp_fused_planes(cfg)),
+                     ("tiled", ip.make_icp_fused_planes_tiled(cfg))):
+        got = np.asarray(fn(sx, sy, sc, jnp.asarray(mx), jnp.asarray(my),
+                            mc, init).pose)
+        err = float(np.abs(got - rj).max())
+        if err > 1e-3:
+            raise RuntimeError(
+                f"fused ICP kernel ({name}) disagrees with XLA reference: "
+                f"max pose err {err}; refusing to emit a bench number")
+    return "ok"
 
 
 def bench_2d(batch, steps, repeats):
@@ -57,6 +119,26 @@ def bench_2d(batch, steps, repeats):
         return out
 
     return _timed_rate(run_block, states, batch, steps, repeats)
+
+
+def bench_batch1_latency(steps, repeats):
+    """Config-1 single-robot latency (BASELINE.md measures batch 1)."""
+    from slam_tpu.config import sim2d_config
+    from slam_tpu.pipeline import slam2d
+    from slam_tpu.sim import world2d
+
+    cfg = sim2d_config()
+    world = world2d.make_world(jax.random.PRNGKey(42), cfg.sim)
+    state = slam2d.init_state(jax.random.PRNGKey(0), cfg)
+
+    # no donation: the initial state aliases one zeros buffer across grid
+    # channels (donating it twice is an XLA error at batch 1)
+    @jax.jit
+    def run_block(s):
+        return slam2d.rollout(s, world, cfg, steps)[0]
+
+    rate = _timed_rate(run_block, state, 1, steps, repeats)
+    return 1000.0 / rate  # ms per step
 
 
 def bench_3d(batch, steps, repeats):
@@ -80,20 +162,178 @@ def bench_3d(batch, steps, repeats):
     return _timed_rate(run_block, (states, gms), batch, steps, repeats)
 
 
+def bench_ref_scale(batch, steps, repeats):
+    """Config 2 at the reference's own working point (VERDICT r2 item 1):
+    20,480-point scans, 72x200 polar grid, 20k pts/class ICP budget, grid
+    matcher (the O(N) engines throughout)."""
+    from slam_tpu.config import ref_scale_config
+    from slam_tpu.pipeline import slam3d
+    from slam_tpu.sim import world3d
+
+    cfg = ref_scale_config()
+    cfg = cfg.replace(icp=dataclasses.replace(cfg.icp, matcher="grid"))
+    world = world3d.make_world(jax.random.PRNGKey(42), cfg.sim)
+    keys = jax.random.split(jax.random.PRNGKey(0), batch)
+    states = jax.vmap(lambda k: slam3d.init_state_3d(k, cfg, world))(keys)
+    gms = jax.vmap(lambda _: slam3d.init_ground_map(cfg))(jnp.arange(batch))
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def run_block(sg):
+        def one(ss, gg):
+            out, gm2, _ = slam3d.rollout_3d(ss, world, gg, cfg, steps)
+            return out, gm2
+        return jax.vmap(one)(*sg)
+
+    return _timed_rate(run_block, (states, gms), batch, steps, repeats)
+
+
+def bench_mls_reloc(batch, steps, repeats):
+    """Config 3: MLS cluster mapping + FFT correlative relocalization in the
+    loop. Each 4-tick macro runs the standard fused loop, folds the latest
+    scene into the MLS cluster grid (local_mapper role, mls.cpp:34-53), and
+    runs one FFT global match + EKF shift (global_matching role)."""
+    from slam_tpu.config import sim2d_config
+    from slam_tpu.geometry import se2_apply
+    from slam_tpu.mapping.mls import add_to_mls, init_mls
+    from slam_tpu.pipeline import slam2d
+    from slam_tpu.pipeline.relocalize import (apply_relocalization,
+                                              relocalize)
+    from slam_tpu.sim import world2d
+    from slam_tpu.types import PointCloud
+
+    cfg = sim2d_config()
+    cfg = cfg.replace(global_match=dataclasses.replace(
+        cfg.global_match, grid_size=192, num_rotations=32))
+    world = world2d.make_world(jax.random.PRNGKey(42), cfg.sim)
+    keys = jax.random.split(jax.random.PRNGKey(0), batch)
+    states = jax.vmap(lambda k: slam2d.init_state(k, cfg))(keys)
+    grids = jax.vmap(lambda _: init_mls(cfg.mls))(jnp.arange(batch))
+    n_macro = max(1, steps // 4)
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def run_block(carry):
+        def one(s, mg):
+            def macro(c, _):
+                s2, mg2 = c
+                s2, _ = slam2d.rollout(s2, world, cfg, 4)
+                scene = s2.prev_scene
+                xy = se2_apply(s2.pose[:3], scene.xyz[..., :2])
+                cloud = PointCloud(
+                    xyz=jnp.concatenate([xy, scene.xyz[..., 2:]], -1),
+                    valid=scene.valid, flags=scene.flags)
+                mg2 = add_to_mls(mg2, cloud, cfg.mls)
+                m = relocalize(s2, scene, cfg)
+                s2 = apply_relocalization(s2, m)
+                return (s2, mg2), None
+            (s, mg), _ = jax.lax.scan(macro, (s, mg), None, length=n_macro)
+            return s, mg
+        return jax.vmap(one)(*carry)
+
+    return _timed_rate(run_block, (states, grids), batch, 4 * n_macro,
+                       repeats)
+
+
+def bench_graph(batch, steps, repeats):
+    """Config 4: full graph-SLAM loop (rollout_with_graph)."""
+    from slam_tpu.config import sim2d_config
+    from slam_tpu.pipeline import slam2d
+    from slam_tpu.sim import world2d
+
+    cfg = sim2d_config()
+    cfg = cfg.replace(graph=dataclasses.replace(
+        cfg.graph, max_nodes=32, max_edges=128, keyframe_points=384))
+    world = world2d.make_world(jax.random.PRNGKey(42), cfg.sim)
+    keys = jax.random.split(jax.random.PRNGKey(0), batch)
+    states = jax.vmap(
+        lambda k: slam2d.init_state(k, cfg, with_graph=True))(keys)
+    graph_every = 8
+    n_macro = max(1, steps // graph_every)
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def run_block(s):
+        out, _ = jax.vmap(lambda x: slam2d.rollout_with_graph(
+            x, world, cfg, n_macro, graph_every))(s)
+        return out
+
+    return _timed_rate(run_block, states, batch, graph_every * n_macro,
+                       repeats)
+
+
+def bench_fleet_pf_shared(batch, steps, repeats):
+    """Config 5: particle-filter scan matching + psum-shared fleet map."""
+    from slam_tpu.config import sim2d_config
+    from slam_tpu.parallel.shared_map import merge_maps
+    from slam_tpu.pipeline import slam2d
+    from slam_tpu.sim import world2d
+
+    cfg = sim2d_config()
+    cfg = cfg.replace(icp=dataclasses.replace(cfg.icp, matcher="particle"))
+    world = world2d.make_world(jax.random.PRNGKey(42), cfg.sim)
+    keys = jax.random.split(jax.random.PRNGKey(0), batch)
+    states = jax.vmap(lambda k: slam2d.init_state(k, cfg))(keys)
+    n_macro = max(1, steps // 4)
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def run_block(s):
+        def macro(ss, _):
+            def ticks(x):
+                def tick(x2, _):
+                    return slam2d.slam_step(x2, world, cfg,
+                                            refresh_map=False,
+                                            shift_maps=False), None
+                return jax.lax.scan(tick, x, None, length=4)[0]
+            ss = jax.vmap(ticks)(ss)
+            merged = merge_maps(ss.map_grid)
+            shared = jax.tree.map(
+                lambda m: jnp.broadcast_to(m[None], (batch,) + m.shape),
+                merged)
+            return ss.replace(map_grid=shared), None
+        return jax.lax.scan(macro, s, None, length=n_macro)[0]
+
+    return _timed_rate(run_block, states, batch, 4 * n_macro, repeats)
+
+
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--pipeline", choices=("2d", "3d", "both"), default="both")
+    p.add_argument("--pipeline",
+                   choices=("2d", "3d", "both", "all"), default="all",
+                   help="'both' = configs 1+2 (r2 behavior); 'all' adds "
+                        "configs 3-5, batch-1, ref-scale")
     p.add_argument("--batch", type=int, default=1024, help="2D fleet size")
     p.add_argument("--batch3d", type=int, default=128, help="3D fleet size")
-    p.add_argument("--steps", type=int, default=20, help="steps per timed block")
+    p.add_argument("--batch-scale", type=int, default=32,
+                   help="ref-scale fleet size")
+    p.add_argument("--steps", type=int, default=20, help="steps per block")
     p.add_argument("--repeats", type=int, default=3)
     args = p.parse_args()
 
+    extra = {"kernel_guard": kernel_guard()}  # raises on kernel regression
+
+    def try_extra(name, fn, *a):
+        try:
+            extra[name] = round(fn(*a), 2)
+        except Exception:
+            traceback.print_exc(file=sys.stderr)
+            extra[name] = None
+
     rate2d = rate3d = None
-    if args.pipeline in ("2d", "both"):
+    if args.pipeline in ("2d", "both", "all"):
         rate2d = bench_2d(args.batch, args.steps, args.repeats)
-    if args.pipeline in ("3d", "both"):
+    if args.pipeline in ("3d", "both", "all"):
         rate3d = bench_3d(args.batch3d, args.steps, args.repeats)
+
+    if args.pipeline == "all":
+        try_extra("batch1_ms_per_step", bench_batch1_latency, args.steps,
+                  args.repeats)
+        try_extra("config3_mls_reloc_steps_per_sec_b256", bench_mls_reloc,
+                  256, args.steps, args.repeats)
+        try_extra("config4_graph_steps_per_sec_b256", bench_graph,
+                  256, 16, args.repeats)
+        try_extra("config5_fleet_pf_shared_steps_per_sec_b%d" % args.batch,
+                  bench_fleet_pf_shared, args.batch, args.steps,
+                  args.repeats)
+        try_extra("ref_scale_20k_steps_per_sec_b%d" % args.batch_scale,
+                  bench_ref_scale, args.batch_scale, 8, args.repeats)
 
     if args.pipeline == "3d":
         print(json.dumps({
@@ -104,17 +344,16 @@ def main():
         }))
         return
 
+    if rate3d is not None:
+        extra["slam3d_robot_steps_per_sec_b%d_1chip" % args.batch3d] = \
+            round(rate3d, 1)
     out = {
         "metric": "slam_robot_steps_per_sec_b%d_1chip" % args.batch,
         "value": round(rate2d, 1),
         "unit": "robot-steps/s",
         "vs_baseline": round(rate2d / 10000.0, 4),
+        "extra": extra,
     }
-    if rate3d is not None:
-        out["extra"] = {
-            "slam3d_robot_steps_per_sec_b%d_1chip" % args.batch3d:
-                round(rate3d, 1),
-        }
     print(json.dumps(out))
 
 

@@ -49,6 +49,18 @@ class FiducialConfig(NamedTuple):
     box: int = 15                # adaptive threshold window (odd)
     max_hamming: int = 2         # decode acceptance (AprilTag default)
     blur_sigma: float = 0.0      # optional pre-blur (seg_sigma, apriltag.c:1000)
+    # morphological opening radius on the dark mask before CC: cuts dark
+    # bridges (shadows, contact points) up to 2r+1 px wide that would merge
+    # a tag border with touching clutter into one component — the role the
+    # reference's gradient segmentation plays (segment2.c: clutter pixels
+    # have different edge orientations and never join the border's
+    # segments). Borders thinner than 2r+1 px are destroyed; at r=1 that
+    # only affects tags < ~24 px wide, below min_area anyway.
+    open_radius: int = 1
+    # segmentation decimation (quad_decimate, apriltag.c:1000-1031): run
+    # threshold/CC/corner extraction on a d-subsampled image, scale corners
+    # back, decode at FULL resolution through the homography
+    decimate: int = 1
 
 
 class Detections(NamedTuple):
@@ -124,6 +136,36 @@ def _box_mean(img: jnp.ndarray, k: int) -> jnp.ndarray:
     return blur1d(blur1d(img, 0), 1)
 
 
+def _erode(mask: jnp.ndarray, r: int) -> jnp.ndarray:
+    """r iterations of 3x3 (8-neighborhood) binary erosion."""
+    for _ in range(r):
+        p = jnp.pad(mask, 1, constant_values=False)
+        m = p[1:-1, 1:-1]
+        for di in (-1, 0, 1):
+            for dj in (-1, 0, 1):
+                if di == 0 and dj == 0:
+                    continue
+                m = m & p[1 + di:p.shape[0] - 1 + di,
+                          1 + dj:p.shape[1] - 1 + dj]
+        mask = m
+    return mask
+
+
+def _dilate(mask: jnp.ndarray, r: int) -> jnp.ndarray:
+    """r iterations of 3x3 binary dilation."""
+    for _ in range(r):
+        p = jnp.pad(mask, 1, constant_values=False)
+        m = p[1:-1, 1:-1]
+        for di in (-1, 0, 1):
+            for dj in (-1, 0, 1):
+                if di == 0 and dj == 0:
+                    continue
+                m = m | p[1 + di:p.shape[0] - 1 + di,
+                          1 + dj:p.shape[1] - 1 + dj]
+        mask = m
+    return mask
+
+
 def connected_components(mask: jnp.ndarray, iters: int) -> jnp.ndarray:
     """Min-label propagation with pointer jumping: labels (H, W) int32;
     background = -1.
@@ -191,10 +233,24 @@ def detect_tags(img: jnp.ndarray, codebook: jnp.ndarray,
                     [:, i:i + W] for i in range(5))
     else:
         img_s = img
-    mean = _box_mean(img_s, cfg.box)
-    dark = img_s < (mean - cfg.thresh_margin)
+
+    # segmentation decimation (apriltag.c:1000-1031): stages 1-4 run at
+    # 1/d resolution; the decode below always samples the FULL-res image
+    d = max(1, cfg.decimate)
+    seg_img = img_s[::d, ::d] if d > 1 else img_s
+    Hs, Ws = seg_img.shape
+    area_scale = float(d * d)
+
+    mean = _box_mean(seg_img, cfg.box)
+    dark = seg_img < (mean - cfg.thresh_margin)
+    if cfg.open_radius > 0:
+        # opening: cuts <=2r+1 px dark bridges between a tag border and
+        # touching clutter (shadows, contact) so they stay separate
+        # components; large shapes come back to size under the dilation
+        dark = _dilate(_erode(dark, cfg.open_radius), cfg.open_radius)
     labels = connected_components(dark, cfg.cc_iters)
-    slot_pp, _ = _component_table(labels, T)               # (H*W,)
+    slot_pp, _ = _component_table(labels, T)               # (Hs*Ws,)
+    H, W = Hs, Ws  # stages 3-4 operate in decimated coordinates
 
     yy = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0).reshape(-1)
     xx = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1).reshape(-1)
@@ -250,15 +306,17 @@ def detect_tags(img: jnp.ndarray, codebook: jnp.ndarray,
     off3 = jnp.abs((c2x - c0x) * (c3y - c0y) - (c2y - c0y) * (c3x - c0x))
     not_flat = (off1 > 0.1 * diag2) & (off3 > 0.1 * diag2)
 
-    good = (area >= cfg.min_area) & (area <= cfg.max_area) & \
+    good = (area >= cfg.min_area / area_scale) & \
+        (area <= cfg.max_area / area_scale) & \
         jnp.all(corner_ok, axis=1) & not_flat
 
     # keep top-Q components by area
     score = jnp.where(good, area, -1.0)
     top_area, top_idx = jax.lax.top_k(score, Q)
     sel_ok = top_area > 0
-    sel_corners = corners[top_idx]                         # (Q, 4, 2)
-    sel_center = jnp.stack([cx[top_idx], cy[top_idx]], -1)
+    # back to full-resolution coordinates for the decode sampling
+    sel_corners = corners[top_idx] * d                     # (Q, 4, 2)
+    sel_center = jnp.stack([cx[top_idx], cy[top_idx]], -1) * d
 
     tag_id, hamming, dec_ok = jax.vmap(
         lambda c: _decode_quad(img, c, codebook, cfg))(sel_corners)

@@ -177,3 +177,80 @@ def test_codebook_hamming_separation():
                 if i == j and k == 0:
                     continue
                 assert d >= 10, (i, j, k, d)
+
+
+def _paint_rect(img, y0, y1, x0, x1, val=0.05):
+    return img.at[y0:y1, x0:x1].set(val)
+
+
+def test_tag_touching_dark_blob_still_detected(codebook):
+    """VERDICT r2 item 7: a tag whose border touches dark clutter through a
+    contact bridge must still detect — the opening pass cuts the bridge so
+    the border stays its own component (the reference's gradient
+    segmentation achieves this by never joining differently-oriented
+    edges, segment2.c)."""
+    # r=2 cuts contact bridges up to 5 px; this tag's border is ~6.5 px
+    # thick (52 px tag / 8 cells), comfortably above the erosion radius
+    cfg = FiducialConfig(min_area=100, open_radius=2)
+    tag = 3
+    corners = _square(64, 64, 26, angle=0.1)
+    img = render_tag(codebook[tag], corners, 160, 160)
+    # dark blob in the corner + a 3-px bridge touching the tag border
+    img = _paint_rect(img, 8, 40, 8, 40)
+    img = _paint_rect(img, 38, 41, 30, 45)     # bridge into the tag's side
+    det = detect_tags(img, codebook, cfg)
+    v = np.asarray(det.valid)
+    assert v.any(), "tag lost to touching clutter"
+    assert tag in np.asarray(det.tag_id)[v]
+
+
+def test_two_tags_sharing_shadow_both_detected(codebook):
+    """Two adjacent tags connected by a thin dark 'shadow' line: both must
+    decode (the shadow would merge them into one component without the
+    opening pass)."""
+    cfg = FiducialConfig(min_area=100, open_radius=1, max_detections=8)
+    ca = _square(52, 64, 24, angle=0.05)
+    cb = _square(140, 64, 24, angle=-0.08)
+    img = render_tag(codebook[2], ca, 128, 192)
+    tag_b = render_tag(codebook[9], cb, 128, 192, bg=-1.0)
+    img = jnp.where(tag_b >= 0, tag_b, img)
+    # 2-px shadow line connecting the two borders
+    img = _paint_rect(img, 63, 65, 70, 122)
+    det = detect_tags(img, codebook, cfg)
+    ids = set(np.asarray(det.tag_id)[np.asarray(det.valid)].tolist())
+    assert 2 in ids and 9 in ids, ids
+
+
+def test_partial_occlusion_rejected_not_misdecoded(codebook):
+    """A tag 30% covered by a dark occluder must be REJECTED (no valid
+    detection with a wrong id) — the Hamming gate's job, decode_tag
+    semantics."""
+    cfg = FiducialConfig(min_area=100, open_radius=1)
+    tag = 7
+    corners = _square(64, 64, 28, angle=0.0)
+    img = render_tag(codebook[tag], corners, 128, 128)
+    # occluder overlapping border + payload on the left third
+    img = _paint_rect(img, 30, 98, 30, 58)
+    det = detect_tags(img, codebook, cfg)
+    v = np.asarray(det.valid)
+    ids = np.asarray(det.tag_id)[v]
+    assert not ((ids >= 0) & (ids != tag)).any(), \
+        f"misdecoded occluded tag as {ids}"
+
+
+def test_decimated_detection_large_image(codebook):
+    """quad_decimate parity (apriltag.c:1000-1031): segmentation at 1/2
+    resolution on a large image, decode at full resolution."""
+    cfg = FiducialConfig(min_area=400, decimate=2, open_radius=1)
+    tag = 11
+    corners = _square(300, 260, 80, angle=0.15)
+    img = render_tag(codebook[tag], corners, 512, 512)
+    det = detect_tags(img, codebook, cfg)
+    v = np.asarray(det.valid)
+    assert v.any(), "tag not detected under decimation"
+    assert tag in np.asarray(det.tag_id)[v]
+    # corners come back in FULL-res coordinates
+    got = np.asarray(det.corners)[v][0]
+    want = np.asarray(corners)
+    d = np.abs(got[:, None, :] - want[None, :, :]).sum(-1).min(1)
+    assert d.max() < 12.0, d
