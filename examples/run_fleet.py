@@ -36,8 +36,12 @@ def main():
     from slam_tpu.utils import metrics
     from slam_tpu.utils.profiling import Throughput
 
+    use_ring = False
     if args.metrics:
-        metrics.enable()
+        # host callbacks where the backend supports them; the device-side
+        # metrics ring otherwise (the axon TPU tunnel rejects host
+        # send/recv — the ring is fetched after the jitted block instead)
+        use_ring = not metrics.enable()
     if args.debug_nans:
         metrics.nan_debug(True)
 
@@ -48,7 +52,9 @@ def main():
             cfg, icp=dataclasses.replace(cfg.icp, matcher=args.matcher))
     world = world2d.make_world(jax.random.PRNGKey(42), cfg.sim)
     keys = jax.random.split(jax.random.PRNGKey(0), args.batch)
-    states = jax.vmap(lambda k: slam2d.init_state(k, cfg))(keys)
+    states = jax.vmap(lambda k: slam2d.init_state(
+        k, cfg, with_metrics_ring=use_ring,
+        metrics_ring_capacity=max(32, 2 * args.steps)))(keys)
 
     if args.shared_map:
         # BASELINE config 5: world-aligned per-robot grids, psum-merged into
@@ -91,7 +97,17 @@ def main():
           f"{jax.default_backend()}  |  fleet median xy error "
           f"{np.median(err):.3f} m  |  icp ok {int(states.scan_reg_ok.sum())}"
           f"/{args.batch}")
-    if args.metrics:
+    if args.metrics and use_ring:
+        recs = metrics.drain_ring(states.metrics_ring)
+        import numpy as _np
+        ok = _np.mean([r["icp_ok"] for r in recs]) if recs else float("nan")
+        nc = _np.mean([r["num_corr"] for r in recs]) if recs else float("nan")
+        mr = _np.mean([r["mean_residual"] for r in recs]) if recs \
+            else float("nan")
+        print(f"device-ring metrics over {len(recs)} records: "
+              f"icp ok-rate {ok:.3f}  |  mean correspondences {nc:.1f}  |  "
+              f"mean residual {mr:.4f} m^2")
+    elif args.metrics:
         s = metrics.summary().get("slam_step", {})
         # records are per-robot-per-step (steps x batch)
         print(f"metrics over {len(metrics.records())} records "

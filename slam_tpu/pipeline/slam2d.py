@@ -31,11 +31,14 @@ from slam_tpu.ops.voxel import crop_box, voxel_downsample
 from slam_tpu.sim import world2d
 from slam_tpu.sim.world2d import World2D
 from slam_tpu.types import (PointCloud, SlamState, cloud_from_xyz, make_cloud)
+from slam_tpu.utils import metrics as metrics_mod
 
 
 def init_state(key: jnp.ndarray, cfg: SlamConfig,
                with_graph: bool = False,
-               calibrate_gyro: bool = True) -> SlamState:
+               calibrate_gyro: bool = True,
+               with_metrics_ring: bool = False,
+               metrics_ring_capacity: int = 256) -> SlamState:
     graph = None
     map_grid = None
     if with_graph:
@@ -66,6 +69,8 @@ def init_state(key: jnp.ndarray, cfg: SlamConfig,
         step=jnp.int32(0),
         true_pose=jnp.zeros(4),
         rng=key,
+        metrics_ring=(metrics_mod.init_ring(metrics_ring_capacity)
+                      if with_metrics_ring else None),
     )
 
 
@@ -355,6 +360,10 @@ def process_frame_planes(state: SlamState, scan_x, scan_y, hit, gyro, cmd,
     from slam_tpu.utils import metrics
     metrics.emit("slam_step", icp_ok=icp.ok, num_corr=icp.num_corr,
                  mean_residual=icp.mean_residual)
+    ring = metrics.ring_write(state.metrics_ring, step=state.step,
+                              icp_ok=icp.ok, num_corr=icp.num_corr,
+                              mean_residual=icp.mean_residual,
+                              scene_points=jnp.sum(skeep))
     ekf = ekf_mod.slam_update(ekf, icp.pose, cfg.ekf, has_meas=icp.ok)
     fused = jnp.stack([ekf.mu[0], ekf.mu[1], ekf.mu[6]])
 
@@ -405,6 +414,7 @@ def process_frame_planes(state: SlamState, scan_x, scan_y, hit, gyro, cmd,
         map_cloud=map_cloud,
         map_grid=mg,
         step=state.step + 1,
+        metrics_ring=ring,
     )
 
 
@@ -504,8 +514,12 @@ def graph_update(state: SlamState, cfg: SlamConfig) -> SlamState:
     metrics.emit("graph_update", added=added, num_nodes=graph.num_nodes,
                  num_edges=graph.num_edges,
                  graph_full=graph.num_nodes >= cfg.graph.max_nodes)
+    ring = metrics.ring_write(state.metrics_ring, step=state.step,
+                              graph_nodes=graph.num_nodes,
+                              graph_edges=graph.num_edges)
     return state.replace(graph=graph, map_cloud=map_cloud,
-                         graph_full=graph.num_nodes >= cfg.graph.max_nodes)
+                         graph_full=graph.num_nodes >= cfg.graph.max_nodes,
+                         metrics_ring=ring)
 
 
 @partial(jax.jit, static_argnames=("cfg", "num_macro", "graph_every"))

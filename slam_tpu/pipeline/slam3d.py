@@ -249,6 +249,10 @@ def process_frame_3d(state: SlamState, ground_map: GroundMap, scan_tilted,
     metrics.emit("slam_step_3d", icp_ok=icp.ok, num_corr=icp.num_corr,
                  mean_residual=icp.mean_residual,
                  scene_points=jnp.sum(ovalid))
+    ring = metrics.ring_write(state.metrics_ring, step=state.step,
+                              icp_ok=icp.ok, num_corr=icp.num_corr,
+                              mean_residual=icp.mean_residual,
+                              scene_points=jnp.sum(ovalid))
     ekf = ekf_mod.slam_update(ekf, icp.pose, cfg.ekf, has_meas=icp.ok)
     fused = jnp.stack([ekf.mu[0], ekf.mu[1], ekf.mu[6]])
     pose4_pre = jnp.concatenate([fused, state.pose[3:4]])
@@ -307,6 +311,7 @@ def process_frame_3d(state: SlamState, ground_map: GroundMap, scan_tilted,
         map_cloud=map_cloud,
         map_grid=mg,
         step=state.step + 1,
+        metrics_ring=ring,
     )
     return new_state, GroundMap(grid=gg, cloud=gnd_cloud)
 

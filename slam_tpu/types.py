@@ -157,3 +157,6 @@ class SlamState:
     step: jnp.ndarray            # () int32 sim/step counter
     true_pose: jnp.ndarray       # (4,) simulation ground truth (for ATE)
     rng: jnp.ndarray             # PRNG key
+    metrics_ring: object = None  # Optional (buf, idx) device metrics ring
+    #   (utils/metrics.py init_ring) — the on-TPU observability fallback
+    #   where host callbacks are unsupported; drained post-block

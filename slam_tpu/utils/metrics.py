@@ -122,6 +122,61 @@ def summary() -> dict[str, dict[str, float]]:
             for n, d in out.items()}
 
 
+# ---------- device-side metrics ring (on-TPU fallback) ----------
+#
+# Where host callbacks are unavailable (the axon TPU tunnel rejects host
+# send/recv — see _backend_supports_callbacks), per-step scalars accumulate
+# in a small ring INSIDE the state pytree and are fetched after the jitted
+# block (VERDICT r2 item 8). Channel layout is fixed so every emission site
+# writes the same row shape.
+
+RING_CHANNELS = (
+    "step", "icp_ok", "num_corr", "mean_residual", "scene_points",
+    "graph_nodes", "graph_edges", "reserved",
+)
+
+
+def init_ring(capacity: int = 256):
+    """Device metrics ring: (capacity, len(RING_CHANNELS)) f32 + write count.
+    Returned as a plain tuple pytree (buf, idx) so it nests in SlamState
+    without a new container type."""
+    import jax.numpy as jnp
+    return (jnp.full((capacity, len(RING_CHANNELS)), jnp.nan, jnp.float32),
+            jnp.int32(0))
+
+
+def ring_write(ring, **scalars):
+    """Write named scalars (a subset of RING_CHANNELS) as one ring row.
+    None ring passes through (ring disabled). Pure; call from jitted code."""
+    if ring is None:
+        return None
+    import jax.numpy as jnp
+    buf, idx = ring
+    row = jnp.zeros((len(RING_CHANNELS),), jnp.float32)
+    for k, v in scalars.items():
+        c = RING_CHANNELS.index(k)
+        row = row.at[c].set(jnp.asarray(v, jnp.float32))
+    buf = buf.at[idx % buf.shape[0]].set(row)
+    return (buf, idx + 1)
+
+
+def drain_ring(ring) -> list[dict]:
+    """Fetch a ring (or a batch of rings with leading robot dims) written on
+    device: returns records like the callback path ({"name": "ring", ...})."""
+    if ring is None:
+        return []
+    buf, idx = np.asarray(ring[0]), np.asarray(ring[1])
+    rows = buf.reshape(-1, buf.shape[-1])
+    out = []
+    for r in rows:
+        if not np.isfinite(r).any():
+            continue  # never written
+        rec = {"name": "ring"}
+        rec.update({k: float(v) for k, v in zip(RING_CHANNELS, r)})
+        out.append(rec)
+    return out
+
+
 def nan_debug(enable_nan_checks: bool = True) -> None:
     """Opt-in jax_debug_nans: any NaN produced under jit raises at the
     offending primitive (the race-detector analogue for numeric bugs;
