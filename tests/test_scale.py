@@ -175,3 +175,29 @@ def test_tiled_icp_matches_icp_fit_interpret():
     assert err.max() < 2e-3, err
     assert int(r2.num_corr[0]) == int(ref.num_corr)
     assert bool(r2.ok[0]) == bool(ref.ok)
+
+
+def test_midscale_rollout_tracks():
+    """End-to-end ATE with ALL scale engines live (grid scene builder,
+    native ground binning, grid matcher) on a 5120-point Velodyne config —
+    the CPU-sized stand-in for the 20k working point (the full-size rollout
+    runs on TPU via bench.py's ref-scale entry)."""
+    from slam_tpu.pipeline import slam3d
+    from slam_tpu.sim import world3d
+
+    cfg = ref_scale_config()
+    cfg = cfg.replace(
+        sim=dataclasses.replace(cfg.sim, num_azimuth=160),  # 32*160 = 5120
+        icp=dataclasses.replace(cfg.icp, matcher="grid"),
+    )
+    assert cfg.cloud.scene_builder == "grid"
+    world = world3d.make_world(jax.random.PRNGKey(42), cfg.sim)
+    s = slam3d.init_state_3d(jax.random.PRNGKey(0), cfg, world)
+    gm = slam3d.init_ground_map(cfg)
+    final, gm2, (est, true) = slam3d.rollout_3d(s, world, gm, cfg, 12)
+    est, true = np.asarray(est), np.asarray(true)
+    err = est[4:, :2] - true[4:, :2]
+    ate = float(np.sqrt((err ** 2).sum(-1).mean()))
+    zerr = float(np.abs(est[4:, 3] - true[4:, 3]).mean())
+    assert np.isfinite(ate) and ate < 0.2, ate
+    assert zerr < 0.1, zerr
