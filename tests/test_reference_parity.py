@@ -218,4 +218,6 @@ def test_pipeline_matches_reference_oracle():
     assert ate <= limit, f"ATE vs reference oracle {ate*100:.2f} cm"
     dyaw = np.abs(np.arctan2(np.sin(got[:, 2] - ref[:, 2]),
                              np.cos(got[:, 2] - ref[:, 2])))
-    assert dyaw[5:].max() < limit, f"yaw dev {dyaw[5:].max()}"
+    # yaw gets its OWN bound (ADVICE r2): measured max yaw dev is 0.0013 rad
+    # on TPU — the translation limit's 0.05 was a unit-mixing loosening
+    assert dyaw[5:].max() < 0.01, f"yaw dev {dyaw[5:].max()}"
