@@ -133,7 +133,8 @@ def update_point_map_xy(grid: PointMapGrid, qx: jnp.ndarray, qy: jnp.ndarray,
 
 
 def export_point_planes(grid: PointMapGrid, capacity: int,
-                        min_count: float = 1.0, ga_threshold: int = 2):
+                        min_count: float = 1.0, ga_threshold: int = 2,
+                        recall: float = 0.8):
     """Occupied-cell centroids as (x, y, z, ga, valid) planes — the hot-path
     form (planes avoid the lane-padded (N, 3) stack; see
     geometry.se2_apply_xy). export_points packs these into a PointCloud.
@@ -161,11 +162,17 @@ def export_point_planes(grid: PointMapGrid, capacity: int,
     # approx_max_k: TPU-native partial reduction (exact top_k lowers to a
     # full 37k-element sort, ~56 ms at batch 1024; recall 0.95 still sorts
     # an 18k-wide reduced set, ~26 ms). recall 0.8 reduces 8x deeper before
-    # the sort (3.9 ms) and measures 99.86% occupied-cell recall at the
-    # typical ~600-occupied/512-cap operating point — a dropped cell stays
-    # in the persistent grid and reappears at the next export, so the only
-    # effect is a marginally sparser ICP target for one macro block
-    v, idx = jax.lax.approx_max_k(score, capacity, recall_target=0.8)
+    # the sort (3.9 ms); a dropped cell stays in the persistent grid and
+    # reappears at the next export. MEASURED accuracy cost (round 3): the
+    # per-export drops randomize the ICP target slightly and random-walk
+    # the trajectory ~2 cm ATE vs the sequential f64 oracle over 40 steps
+    # (exact export: 0.36 cm) — ground-truth ATE is unchanged. recall >= 1
+    # switches to the exact top_k for parity-grade runs
+    # (CloudConfig.export_recall).
+    if recall >= 1.0:
+        v, idx = jax.lax.top_k(score, capacity)
+    else:
+        v, idx = jax.lax.approx_max_k(score, capacity, recall_target=recall)
     sel = v >= min_count
     ci = idx // G
     cj = idx % G
@@ -186,10 +193,10 @@ def export_point_planes(grid: PointMapGrid, capacity: int,
 
 
 def export_points(grid: PointMapGrid, capacity: int, min_count: float = 1.0,
-                  ga_threshold: int = 2) -> PointCloud:
+                  ga_threshold: int = 2, recall: float = 0.8) -> PointCloud:
     """export_point_planes packed into the PointCloud container."""
     x, y, z, ga_pt, sel = export_point_planes(grid, capacity, min_count,
-                                              ga_threshold)
+                                              ga_threshold, recall)
     xyz = jnp.stack([x, y, z], axis=-1)
     flags = jnp.where(ga_pt, PointCloud.FLAG_GA, 0).astype(jnp.int32)
     return PointCloud(xyz=xyz, valid=sel, flags=flags)

@@ -385,7 +385,8 @@ def process_frame_planes(state: SlamState, scan_x, scan_y, hit, gyro, cmd,
         mg = update_point_map_xy(mg, qx, qy, None, skeep, res)
         if refresh_map:
             map_cloud = export_points(mg, state.map_cloud.capacity,
-                                      ga_threshold=cfg.icp.ga_threshold)
+                                      ga_threshold=cfg.icp.ga_threshold,
+                                      recall=cfg.cloud.export_recall)
         else:
             # rollout refreshes the exported target at macro boundaries —
             # the reference's own cadence (scan-reg targets update at
@@ -443,7 +444,8 @@ def rollout(state: SlamState, world: World2D, cfg: SlamConfig, num_steps: int,
             from slam_tpu.mapping.point_map import export_point_planes
             ex, ey, ez, ega, evalid = export_point_planes(
                 s.map_grid, s.map_cloud.capacity,
-                ga_threshold=cfg.icp.ga_threshold)
+                ga_threshold=cfg.icp.ga_threshold,
+                recall=cfg.cloud.export_recall)
             planes = (ex, ey, ega, evalid)
             s = s.replace(map_cloud=planes_to_cloud(ex, ey, ega, evalid, ez))
 

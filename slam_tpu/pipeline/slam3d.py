@@ -282,8 +282,10 @@ def process_frame_3d(state: SlamState, ground_map: GroundMap, scan_tilted,
                              z_precision=jax.lax.Precision.HIGH)
     if refresh_map:
         map_cloud = export_points(mg, state.map_cloud.capacity,
-                                  ga_threshold=cfg.icp.ga_threshold)
-        gnd_cloud = export_points(gg, ground_map.cloud.capacity)
+                                  ga_threshold=cfg.icp.ga_threshold,
+                                  recall=cfg.cloud.export_recall)
+        gnd_cloud = export_points(gg, ground_map.cloud.capacity,
+                                  recall=cfg.cloud.export_recall)
     else:
         map_cloud = state.map_cloud
         gnd_cloud = ground_map.cloud
@@ -361,11 +363,13 @@ def rollout_3d(state: SlamState, world: World3D, ground_map, cfg: SlamConfig,
         else:
             ex, ey, ez, ega, evalid = export_point_planes(
                 s.map_grid, s.map_cloud.capacity,
-                ga_threshold=cfg.icp.ga_threshold)
+                ga_threshold=cfg.icp.ga_threshold,
+                recall=cfg.cloud.export_recall)
             planes = (ex, ey, ega, evalid)
             s = s.replace(map_cloud=planes_to_cloud(ex, ey, ega, evalid, ez))
         gm = GroundMap(grid=gm.grid,
-                       cloud=export_points(gm.grid, gm.cloud.capacity))
+                       cloud=export_points(gm.grid, gm.cloud.capacity,
+                                           recall=cfg.cloud.export_recall))
 
         def tick(c, _):
             ss, g = c
@@ -404,7 +408,8 @@ def rollout_3d_with_graph(state: SlamState, world: World3D,
     def macro(carry, _):
         s, gm = carry
         gm = GroundMap(grid=gm.grid,
-                       cloud=export_points(gm.grid, gm.cloud.capacity))
+                       cloud=export_points(gm.grid, gm.cloud.capacity,
+                                           recall=cfg.cloud.export_recall))
 
         def tick(c, _):
             ss, g = c
