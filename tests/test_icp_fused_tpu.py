@@ -114,3 +114,27 @@ def test_fused_vmap_batch():
                    encode_model_class(m_valid[i], m_ga[i]), init[i])
         np.testing.assert_allclose(np.asarray(batched.pose[i]),
                                    np.asarray(single.pose), atol=1e-5)
+
+
+def test_tiled_kernel_matches_xla_on_chip():
+    """The C-tiled streaming kernel (reference-scale sibling) vs icp_fit on
+    the real chip, at a size spanning several S/C blocks with ragged
+    boundaries. Interpret-mode equivalence lives in test_scale.py; this is
+    the Mosaic-lowering check."""
+    from slam_tpu.ops.icp_pallas import (_icp_batched_planes_tiled,
+                                         encode_model_class,
+                                         encode_scene_class)
+
+    scene, s_valid, s_ga, model, m_valid, m_ga, _ = _random_case(
+        jax.random.PRNGKey(9), S=700, C=1500)
+    init = jnp.zeros(3)
+    cfg = dataclasses.replace(CFG, max_iterations=12)
+    ref = icp_fit(scene, s_valid, s_ga, model, m_valid, m_ga, init, cfg)
+    r2 = _icp_batched_planes_tiled(
+        scene[None, :, 0], scene[None, :, 1],
+        encode_scene_class(s_valid, s_ga)[None],
+        model[None, :, 0], model[None, :, 1],
+        encode_model_class(m_valid, m_ga)[None], init[None], cfg, 256, 512)
+    err = np.abs(np.asarray(r2.pose[0]) - np.asarray(ref.pose))
+    assert err.max() < 2e-3, err
+    assert int(r2.num_corr[0]) == int(ref.num_corr)
