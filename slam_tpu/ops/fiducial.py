@@ -61,6 +61,23 @@ class FiducialConfig(NamedTuple):
     # threshold/CC/corner extraction on a d-subsampled image, scale corners
     # back, decode at FULL resolution through the homography
     decimate: int = 1
+    # segmentation engine: "cc" = dark-component threshold path (fast);
+    # "gradient" = direction-clustered edge segments + quad search (the
+    # reference's own pipeline shape, segment2.c + apriltag.c:376 — robust
+    # to wide dark-clutter contact)
+    segmenter: str = "cc"
+    # gradient-segmentation path (detect_tags_gradient — segment2.c role)
+    grad_mag_thresh: float = 0.12  # edge gate on |grad| (image in [0, 1])
+    grad_angle_tol: float = 0.3    # neighbor join tolerance [rad]: tight
+    #   enough that direction drift around a blurred corner cuts the chain
+    grad_coherence: float = 0.8    # 5x5 direction-coherence gate that cuts
+    #   corner pixels so sides cannot transitively merge
+    min_seg_pixels: int = 8        # segment validity gates
+    min_seg_len: float = 8.0       # [px at the decimated scale]
+    quad_join_dist: float = 14.0   # endpoint chaining distance [px]
+    # collinear re-join across occlusion/contact gaps: looser than corner
+    # chaining (direction + lateral-offset gates make long bridges safe)
+    collinear_join_dist: float = 26.0
 
 
 class Detections(NamedTuple):
@@ -134,6 +151,19 @@ def _box_mean(img: jnp.ndarray, k: int) -> jnp.ndarray:
         return (hi - lo) / k
 
     return blur1d(blur1d(img, 0), 1)
+
+
+def _gauss5(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
+    """Separable 5-tap Gaussian (the reference's seg_sigma pre-blur,
+    apriltag.c:1000-1060)."""
+    H, W = img.shape
+    t = jnp.exp(-0.5 * (jnp.arange(-2.0, 3.0) / sigma) ** 2)
+    t = t / jnp.sum(t)
+    pad = jnp.pad(img, 2, mode="edge")
+    out = sum(t[i] * pad[i:i + H, 2:2 + W] for i in range(5))
+    out = sum(t[i] * jnp.pad(out, ((0, 0), (2, 2)), mode="edge")
+              [:, i:i + W] for i in range(5))
+    return out
 
 
 def _erode(mask: jnp.ndarray, r: int) -> jnp.ndarray:
@@ -217,22 +247,17 @@ def _component_table(labels: jnp.ndarray, num_slots: int):
 
 def detect_tags(img: jnp.ndarray, codebook: jnp.ndarray,
                 cfg: FiducialConfig = FiducialConfig()) -> Detections:
-    """Detect tags in one grayscale image (H, W) in [0, 1]; vmap over batch."""
+    """Detect tags in one grayscale image (H, W) in [0, 1]; vmap over batch.
+
+    cfg.segmenter selects the engine: "cc" (dark components, below) or
+    "gradient" (detect_tags_gradient — the reference's segment2.c shape)."""
+    if cfg.segmenter == "gradient":
+        return detect_tags_gradient(img, codebook, cfg)
     H, W = img.shape
     Q = cfg.max_detections
     T = 4 * Q  # hash slots (headroom for clutter components)
 
-    if cfg.blur_sigma > 0:
-        # separable 5-tap Gaussian (the reference's seg_sigma pre-blur,
-        # apriltag.c:1000-1060) — knocks down sensor noise before threshold
-        t = jnp.exp(-0.5 * (jnp.arange(-2.0, 3.0) / cfg.blur_sigma) ** 2)
-        t = t / jnp.sum(t)
-        pad = jnp.pad(img, 2, mode="edge")
-        img_s = sum(t[i] * pad[i:i + H, 2:2 + W] for i in range(5))
-        img_s = sum(t[i] * jnp.pad(img_s, ((0, 0), (2, 2)), mode="edge")
-                    [:, i:i + W] for i in range(5))
-    else:
-        img_s = img
+    img_s = _gauss5(img, cfg.blur_sigma) if cfg.blur_sigma > 0 else img
 
     # segmentation decimation (apriltag.c:1000-1031): stages 1-4 run at
     # 1/d resolution; the decode below always samples the FULL-res image
@@ -422,6 +447,312 @@ def _decode_quad(img, corners, codebook, cfg: FiducialConfig):
     contrast_ok = (white - black) > 0.15
     ok = (best_ham <= cfg.max_hamming) & contrast_ok
     return best_id, best_ham, ok
+
+
+# ---------- gradient segmentation + quad search (segment2.c role) ----------
+
+def _grad(img: jnp.ndarray):
+    """Central-difference gradients (gx toward +x/cols, gy toward +y/rows)."""
+    gy = jnp.zeros_like(img).at[1:-1, :].set(0.5 * (img[2:, :] - img[:-2, :]))
+    gx = jnp.zeros_like(img).at[:, 1:-1].set(0.5 * (img[:, 2:] - img[:, :-2]))
+    return gx, gy
+
+
+def _ang_close(ta, tb, tol_cos: float):
+    """|angle(ta - tb)| < tol via cos(ta - tb) > tol_cos (no wrapping)."""
+    return jnp.cos(ta - tb) > tol_cos
+
+
+def connected_components_directed(mask: jnp.ndarray, theta: jnp.ndarray,
+                                  iters: int, tol_cos: float) -> jnp.ndarray:
+    """Min-label propagation where neighbors join only when their gradient
+    directions agree within tol (the union-find criterion of the reference's
+    gradient segmentation, segment2.c: edges cluster by direction, so a tag
+    border never merges with clutter whose edges point elsewhere)."""
+    H, W = mask.shape
+    sentinel = jnp.int32(H * W)
+    init = jnp.where(mask,
+                     jnp.arange(H * W, dtype=jnp.int32).reshape(H, W),
+                     sentinel)
+    pt = jnp.pad(theta, 1)
+    pm = jnp.pad(mask, 1, constant_values=False)
+
+    def shift(a, di, dj):
+        return a[1 + di:a.shape[0] - 1 + di, 1 + dj:a.shape[1] - 1 + dj]
+
+    # static neighbor-connection masks (4-neighborhood)
+    conns = []
+    for di, dj in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+        ok = mask & shift(pm, di, dj) & _ang_close(theta, shift(pt, di, dj),
+                                                   tol_cos)
+        conns.append(((di, dj), ok))
+
+    def sweep(lab, _):
+        p = jnp.pad(lab, 1, constant_values=sentinel)
+        new = lab
+        for (di, dj), ok in conns:
+            cand = jnp.where(ok, shift(p, di, dj), sentinel)
+            new = jnp.minimum(new, cand)
+        new = jnp.where(mask, new, sentinel)
+        for _ in range(2):  # pointer jumps (path halving)
+            flat = jnp.concatenate([new.reshape(-1), sentinel[None]])
+            jumped = flat[new.reshape(-1)].reshape(H, W)
+            new = jnp.where(mask, jnp.minimum(new, jumped), sentinel)
+        return new, None
+
+    lab, _ = jax.lax.scan(sweep, init, None, length=iters)
+    return jnp.where(mask, lab, -1)
+
+
+def _component_slots_topk(labels: jnp.ndarray, K: int):
+    """Exact top-K-by-size component slots (no hash collisions: labels are
+    min-pixel-indices, so a full (H*W,) count array indexes them directly).
+    Returns (per-pixel slot in [0, K] with K = none, slot pixel counts)."""
+    HW = labels.shape[0] * labels.shape[1]
+    flat = labels.reshape(-1)
+    safe = jnp.where(flat >= 0, flat, HW)
+    counts = jnp.zeros(HW + 1, jnp.float32).at[safe].add(1.0)
+    top_c, top_lab = jax.lax.top_k(counts[:HW], K)
+    slot_of = jnp.full(HW + 1, K, jnp.int32).at[top_lab].set(
+        jnp.arange(K, dtype=jnp.int32))
+    # labels that are empty (count 0) may appear in top_k tail: invalidate
+    slot_pp = jnp.where((flat >= 0) & (top_c[jnp.minimum(
+        slot_of[safe], K - 1)] > 0), slot_of[safe], K)
+    return slot_pp, top_c
+
+
+def _line_intersect(p0, d0, p1, d1):
+    """Intersection of lines p0 + t d0 and p1 + s d1 (batched over leading
+    dims); parallel pairs fall back to the endpoint midpoint."""
+    # solve [d0, -d1] [t, s]^T = p1 - p0
+    det = d0[..., 0] * (-d1[..., 1]) - (-d1[..., 0]) * d0[..., 1]
+    rhs = p1 - p0
+    t = (rhs[..., 0] * (-d1[..., 1]) - (-d1[..., 0]) * rhs[..., 1]) / \
+        jnp.where(jnp.abs(det) < 1e-6, 1.0, det)
+    inter = p0 + t[..., None] * d0
+    mid = 0.5 * (p0 + p1)
+    return jnp.where((jnp.abs(det) < 1e-6)[..., None], mid, inter)
+
+
+def detect_tags_gradient(img: jnp.ndarray, codebook: jnp.ndarray,
+                         cfg: FiducialConfig = FiducialConfig()) -> Detections:
+    """Gradient-segmentation detector — the reference's own pipeline shape
+    (segment2.c -> quad_search, apriltag.c:376) rebuilt batched:
+
+      1. gradient magnitude/direction; edge mask
+      2. direction-constrained connected components (edge pixels join only
+         within an angular tolerance) -> one component per tag SIDE
+      3. per-segment weighted line fit: centroid + principal direction +
+         extremal endpoints (two-pass scatter argmax), oriented so the dark
+         side is on the segment's LEFT (gradient 90deg clockwise of travel)
+      4. collinear merge of split segments (clutter contact / occlusion
+         gaps), then endpoint chaining: connect[i, j] when segment i's end
+         meets segment j's start and the turn is a left turn
+      5. 4-cycles of the connection graph are candidate quads; corners are
+         consecutive line intersections; decode as usual
+
+    Slower than detect_tags' dark-component path but robust where a tag
+    border CONTACTS dark clutter over a wide area: clutter edge pixels point
+    in other directions and never join the border's segments."""
+    H0, W0 = img.shape
+    Q = cfg.max_detections
+    T = 64   # exact top-T components by size (no hash collisions)
+    K = 32   # strongest segments kept for the quad search
+
+    d = max(1, cfg.decimate)
+    seg_img = img[::d, ::d] if d > 1 else img
+    H, W = seg_img.shape
+
+    # the gradient path ALWAYS low-passes first: hard rendered/thresholded
+    # edges are staircases whose per-pixel gradient directions alternate
+    # between the axes, fragmenting direction-clustered components (the
+    # reference likewise runs segmentation on the seg_sigma-blurred image)
+    seg_img = _gauss5(seg_img, max(cfg.blur_sigma, 0.8))
+    gx, gy = _grad(seg_img)
+    mag2 = gx * gx + gy * gy
+    edge = mag2 > (cfg.grad_mag_thresh ** 2)
+    theta = jnp.arctan2(gy, gx)
+
+    # cut CORNER pixels before clustering: at a blurred corner the gradient
+    # direction rotates smoothly, so neighbor-tolerance clustering would
+    # chain adjacent sides into one component (transitive drift — the
+    # reference bounds each component's direction RANGE instead,
+    # segment2.c). Local direction coherence |sum u|^2 / count^2 over a 5x5
+    # window is 1 on straight edges and ~0.5 where two orthogonal sides
+    # meet; dropping low-coherence pixels severs the sides at every corner.
+    ux = jnp.where(edge, jnp.cos(theta), 0.0)
+    uy = jnp.where(edge, jnp.sin(theta), 0.0)
+
+    def box5(a):
+        p = jnp.pad(a, 2)
+        out = jnp.zeros_like(a)
+        for di in range(5):
+            for dj in range(5):
+                out = out + p[di:di + a.shape[0], dj:dj + a.shape[1]]
+        return out
+
+    sx_ = box5(ux)
+    sy_ = box5(uy)
+    cnt5 = jnp.maximum(box5(edge.astype(jnp.float32)), 1.0)
+    coh = (sx_ * sx_ + sy_ * sy_) / (cnt5 * cnt5)
+    edge = edge & (coh > cfg.grad_coherence)
+
+    labels = connected_components_directed(edge, theta, cfg.cc_iters,
+                                           jnp.cos(cfg.grad_angle_tol))
+    slot_pp, _ = _component_slots_topk(labels, T)
+
+    yy = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0).reshape(-1)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1).reshape(-1)
+    is_seg = slot_pp < T
+    w = jnp.where(is_seg, jnp.sqrt(mag2).reshape(-1), 0.0)
+
+    def scat(v):
+        return jnp.zeros((T + 1,), jnp.float32).at[slot_pp].add(v)[:T]
+
+    wsum = jnp.maximum(scat(w), 1e-6)
+    cx = scat(w * xx) / wsum
+    cy = scat(w * yy) / wsum
+    npix = scat(jnp.where(is_seg, 1.0, 0.0))
+    # principal direction from weighted second moments
+    slot_c = jnp.minimum(slot_pp, T - 1)
+    rx = xx - cx[slot_c]
+    ry = yy - cy[slot_c]
+    sxx = scat(w * rx * rx)
+    sxy = scat(w * rx * ry)
+    syy = scat(w * ry * ry)
+    ang = 0.5 * jnp.arctan2(2.0 * sxy, sxx - syy)
+    dirx = jnp.cos(ang)
+    diry = jnp.sin(ang)
+
+    # orient travel so the mean gradient points 90deg LEFT of travel in
+    # image coords (y down): for a dark tag on light ground, traversing the
+    # border counter-clockwise on screen keeps dark inside. left-of-travel
+    # normal (y down) = (dy, -dx).
+    mgx = scat(w * jnp.cos(theta).reshape(-1) * jnp.where(is_seg, 1.0, 0.0))
+    mgy = scat(w * jnp.sin(theta).reshape(-1) * jnp.where(is_seg, 1.0, 0.0))
+    flip = (diry * mgx - dirx * mgy) < 0.0
+    dirx = jnp.where(flip, -dirx, dirx)
+    diry = jnp.where(flip, -diry, diry)
+
+    # extremal endpoints along the travel direction (exact per-slot argmax)
+    pix_idx = jnp.arange(H * W, dtype=jnp.int32)
+
+    def argmax_per_slot(value):
+        best = jnp.full((T + 1,), -jnp.inf, jnp.float32).at[slot_pp].max(
+            jnp.where(is_seg, value, -jnp.inf))
+        hit = is_seg & (value >= best[slot_pp] - 1e-5)
+        pick = jnp.full((T + 1,), H * W, jnp.int32).at[slot_pp].min(
+            jnp.where(hit, pix_idx, H * W))[:T]
+        safe = jnp.minimum(pick, H * W - 1)
+        return xx[safe], yy[safe]
+
+    t_along = dirx[slot_c] * rx + diry[slot_c] * ry
+    e1x, e1y = argmax_per_slot(t_along)       # forward end
+    e0x, e0y = argmax_per_slot(-t_along)      # start
+    length = jnp.sqrt((e1x - e0x) ** 2 + (e1y - e0y) ** 2)
+    seg_ok = (npix >= cfg.min_seg_pixels) & (length >= cfg.min_seg_len)
+
+    # compact: keep the K longest valid segments (the chain/cycle tensors
+    # below are O(K^2)/O(K^4) — K stays small, slots can be many)
+    klen, kidx = jax.lax.top_k(jnp.where(seg_ok, length, -1.0), K)
+    seg_ok = klen > 0
+    length = jnp.maximum(klen, 0.0)
+    cx, cy = cx[kidx], cy[kidx]
+    p0 = jnp.stack([e0x[kidx], e0y[kidx]], -1)          # (K, 2)
+    p1 = jnp.stack([e1x[kidx], e1y[kidx]], -1)
+    dvec = jnp.stack([dirx[kidx], diry[kidx]], -1)
+    T = K  # the graph stages below index the compacted set
+
+    # --- collinear merge: a side split by a contact gap rejoins when the
+    # forward end of i meets the start of j with matching direction AND a
+    # small lateral offset (so the parallel inner/outer border edges,
+    # ~border-width apart, can never merge) ---
+    join = cfg.quad_join_dist
+    dd = jnp.sum(dvec[:, None, :] * dvec[None, :, :], -1)     # (T, T) cos
+    gvec = p0[None, :, :] - p1[:, None, :]                    # (T, T, 2)
+    gap = jnp.linalg.norm(gvec, axis=-1)
+    lateral = jnp.abs(dvec[:, None, 0] * gvec[..., 1] -
+                      dvec[:, None, 1] * gvec[..., 0])
+    colin = seg_ok[:, None] & seg_ok[None, :] & (dd > 0.95) & \
+        (gap < cfg.collinear_join_dist) & (lateral < 3.0) & \
+        ~jnp.eye(T, dtype=bool)
+    # absorb j into i (single-link): extend i's end to j's end, kill j
+    absorb_j = jnp.any(colin, axis=0)
+    src_i = jnp.argmax(colin, axis=0)                         # for each j
+    p1 = p1.at[src_i].set(jnp.where(absorb_j[:, None], p1, p1[src_i]))
+    # note: at[].set with duplicate src_i keeps one arbitrary — fine, the
+    # merge only needs SOME extension; then drop absorbed segments
+    seg_ok = seg_ok & ~absorb_j
+
+    # --- endpoint chaining: i -> j when i's end meets j's start with a
+    # LEFT turn (consistent winding). The allowed endpoint gap scales with
+    # the segments' lengths (the reference's quad search budgets gap by
+    # segment length too) so a side truncated by occlusion/contact still
+    # chains — the corner comes from the LINE INTERSECTION, so accuracy
+    # does not degrade with the gap. ---
+    gap2 = jnp.linalg.norm(p0[None, :, :] - p1[:, None, :], axis=-1)
+    join_ij = join + 0.35 * (length[:, None] + length[None, :])
+    crossd = dvec[:, None, 0] * dvec[None, :, 1] - \
+        dvec[:, None, 1] * dvec[None, :, 0]
+    connect = seg_ok[:, None] & seg_ok[None, :] & (gap2 < join_ij) & \
+        (crossd > 0.05) & ~jnp.eye(T, dtype=bool)
+
+    # --- 4-cycle search over the (T, T) connection graph ---
+    # enumerate i<j,k,l cycles via the boolean tensor product: cand[i,j,k,l]
+    c2 = connect[:, :, None] & connect[None, :, :]            # i->j->k
+    cand = c2[:, :, :, None] & connect[None, None, :, :]      # i->j->k->l
+    cyc = cand & connect.T[:, None, None, :]                  # l->i closes
+    # dedup: require i the smallest index in the cycle
+    ii = jnp.arange(T)
+    least = (ii[:, None, None, None] < ii[None, :, None, None]) & \
+        (ii[:, None, None, None] < ii[None, None, :, None]) & \
+        (ii[:, None, None, None] < ii[None, None, None, :])
+    cyc = cyc & least
+    flat = cyc.reshape(-1)
+    score_len = (length[:, None, None, None] + length[None, :, None, None] +
+                 length[None, None, :, None] +
+                 length[None, None, None, :]).reshape(-1)
+    qscore = jnp.where(flat, score_len, -1.0)
+    top_s, top_i = jax.lax.top_k(qscore, Q)
+    sel_ok = top_s > 0
+    i0 = top_i // (T * T * T)
+    i1 = (top_i // (T * T)) % T
+    i2 = (top_i // T) % T
+    i3 = top_i % T
+
+    # corners: consecutive line intersections (side i meets side j at the
+    # shared corner), scaled back to full resolution
+    def corner(a, b):
+        return _line_intersect(
+            jnp.stack([cx[a], cy[a]], -1), dvec[a],
+            jnp.stack([cx[b], cy[b]], -1), dvec[b])
+
+    q01 = corner(i0, i1)
+    q12 = corner(i1, i2)
+    q23 = corner(i2, i3)
+    q30 = corner(i3, i0)
+    # winding: sides traversed i0->i1->i2->i3 with left turns puts corners
+    # in the border-traversal order; decode expects the same winding as the
+    # dark-component path (negative-cross first), which this matches
+    corners = jnp.stack([q30, q01, q12, q23], axis=1) * d     # (Q, 4, 2)
+    center = jnp.mean(corners, axis=1)
+
+    # sanity gates: finite, inside the image, non-degenerate area
+    finite = jnp.all(jnp.isfinite(corners), axis=(1, 2))
+    inb = jnp.all((corners[..., 0] >= -4) & (corners[..., 0] <= W0 + 4) &
+                  (corners[..., 1] >= -4) & (corners[..., 1] <= H0 + 4),
+                  axis=1)
+    e1 = corners[:, 1] - corners[:, 0]
+    e2 = corners[:, 2] - corners[:, 0]
+    area2 = jnp.abs(e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0])
+    sel_ok = sel_ok & finite & inb & (area2 * 0.5 >= cfg.min_area / 2)
+
+    tag_id, hamming, dec_ok = jax.vmap(
+        lambda c: _decode_quad(img, c, codebook, cfg))(corners)
+    valid = sel_ok & dec_ok
+    return Detections(tag_id=jnp.where(valid, tag_id, -1),
+                      corners=corners, center=center,
+                      hamming=hamming, valid=valid)
 
 
 # ---------- test-support renderer ----------

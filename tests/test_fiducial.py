@@ -254,3 +254,61 @@ def test_decimated_detection_large_image(codebook):
     want = np.asarray(corners)
     d = np.abs(got[:, None, :] - want[None, :, :]).sum(-1).min(1)
     assert d.max() < 12.0, d
+
+
+def test_gradient_segmenter_roundtrip(codebook):
+    """The gradient-segmentation pipeline (segment2.c + quad_search shape:
+    direction-clustered edge segments -> line fits -> endpoint chaining ->
+    4-cycle quads -> line-intersection corners) detects and decodes, with
+    corners MORE accurate than the component-extremal path (intersections
+    are sub-pixel)."""
+    from slam_tpu.ops.fiducial import detect_tags_gradient
+
+    cfg = FiducialConfig(min_area=100)
+    tag = 5
+    corners = _square(64, 64, 28, angle=0.2)
+    img = render_tag(codebook[tag], corners, 128, 128)
+    det = detect_tags_gradient(img, codebook, cfg)
+    v = np.asarray(det.valid)
+    assert v.any()
+    hit = int(np.flatnonzero(v)[0])
+    assert int(det.tag_id[hit]) == tag
+    got = np.asarray(det.corners[hit])
+    want = np.asarray(corners)
+    d = np.abs(got[:, None, :] - want[None, :, :]).sum(-1).min(1)
+    assert d.max() < 1.0, d                      # sub-pixel corner accuracy
+
+
+def test_gradient_segmenter_wide_clutter_contact(codebook):
+    """The case the dark-component path CANNOT solve even with opening: a
+    big dark blob fused to the tag border over a WIDE contact area. The
+    blob's edge pixels point in other directions, so the border's segments
+    stay intact and the quad still assembles (the reference's gradient
+    segmentation makes the same guarantee)."""
+    from slam_tpu.ops.fiducial import detect_tags_gradient
+
+    cfg = FiducialConfig(min_area=100)
+    tag = 7
+    corners = _square(96, 80, 30, angle=0.0)
+    img = render_tag(codebook[tag], corners, 160, 192)
+    # blob fused along a 20-px stretch of the tag's left border — the
+    # dark-component path merges them into one blob and loses the quad
+    img = _paint_rect(img, 60, 80, 20, 67)
+    det_cc = detect_tags(img, codebook,
+                         FiducialConfig(min_area=100, open_radius=2))
+    ids_cc = np.asarray(det_cc.tag_id)[np.asarray(det_cc.valid)]
+    det_gr = detect_tags_gradient(img, codebook, cfg)
+    ids_gr = np.asarray(det_gr.tag_id)[np.asarray(det_gr.valid)]
+    assert tag in ids_gr, (ids_gr, ids_cc)
+
+
+def test_gradient_segmenter_dispatch(codebook):
+    """cfg.segmenter='gradient' routes detect_tags through the gradient
+    engine."""
+    cfg = FiducialConfig(min_area=100, segmenter="gradient")
+    tag = 2
+    corners = _square(64, 64, 26, angle=-0.15)
+    img = render_tag(codebook[tag], corners, 128, 128)
+    det = detect_tags(img, codebook, cfg)
+    v = np.asarray(det.valid)
+    assert v.any() and tag in np.asarray(det.tag_id)[v]
