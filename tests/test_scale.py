@@ -15,7 +15,6 @@ from unittest import mock
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from slam_tpu.config import IcpConfig, SlamConfig, ref_scale_config
 
