@@ -74,6 +74,41 @@ def scatter_add_2d_native(cx: jnp.ndarray, cy: jnp.ndarray, values: tuple,
     return tuple(outs)
 
 
+def scatter_add_2d_chunked(cx: jnp.ndarray, cy: jnp.ndarray, values: tuple,
+                           valid: jnp.ndarray, shape: tuple,
+                           precision=jax.lax.Precision.DEFAULT,
+                           chunk: int = 2048) -> tuple:
+    """One-hot matmul scatter streamed over N-chunks: keeps the MXU path at
+    reference scan sizes where a whole-N one-hot would be an O(N*(H+W))
+    transient. Exact like the one-hot path (0/1 entries, f32 accumulate)."""
+    H, W = shape
+    N = cx.shape[0]
+    nc = -(-N // chunk)
+    pad = nc * chunk - N
+    cxp = jnp.pad(cx, (0, pad))
+    cyp = jnp.pad(cy, (0, pad))
+    vp = jnp.pad(valid, (0, pad))
+    vals = tuple(None if v is None else jnp.pad(v, (0, pad)) for v in values)
+
+    def body(i, accs):
+        sl = jax.lax.dynamic_slice_in_dim
+        cxc = sl(cxp, i * chunk, chunk)
+        cyc = sl(cyp, i * chunk, chunk)
+        vc = sl(vp, i * chunk, chunk)
+        inb = vc & (cxc >= 0) & (cyc >= 0) & (cxc < H) & (cyc < W)
+        X = _onehot(jnp.clip(cxc, 0, H - 1), H, inb)
+        Y = _onehot(jnp.clip(cyc, 0, W - 1), W, inb)
+        out = []
+        for a, v in zip(accs, vals):
+            Xv = X if v is None else X * sl(v, i * chunk, chunk)[:, None]
+            out.append(a + jnp.einsum("nh,nw->hw", Xv, Y,
+                                      precision=precision))
+        return tuple(out)
+
+    init = tuple(jnp.zeros((H, W), jnp.float32) for _ in values)
+    return jax.lax.fori_loop(0, nc, body, init)
+
+
 def scatter_add_2d_multi(cx: jnp.ndarray, cy: jnp.ndarray, values: tuple,
                          valid: jnp.ndarray, shape: tuple,
                          precision=jax.lax.Precision.DEFAULT,
@@ -98,6 +133,9 @@ def scatter_add_2d_multi(cx: jnp.ndarray, cy: jnp.ndarray, values: tuple,
                 else "onehot")
     if impl == "native":
         return scatter_add_2d_native(cx, cy, values, valid, shape)
+    if impl == "chunked":
+        return scatter_add_2d_chunked(cx, cy, values, valid, shape,
+                                      precision=precision)
     inb = valid & (cx >= 0) & (cy >= 0) & (cx < H) & (cy < W)
     X = _onehot(jnp.clip(cx, 0, H - 1), H, inb)           # (N, H)
     Y = _onehot(jnp.clip(cy, 0, W - 1), W, inb)           # (N, W)

@@ -200,3 +200,22 @@ def test_midscale_rollout_tracks():
     zerr = float(np.abs(est[4:, 3] - true[4:, 3]).mean())
     assert np.isfinite(ate) and ate < 0.2, ate
     assert zerr < 0.1, zerr
+
+
+def test_scatter_chunked_matches_onehot():
+    from slam_tpu.ops.scatter2d import scatter_add_2d_multi
+
+    rng = np.random.RandomState(4)
+    n = 5000
+    cx = jnp.asarray(rng.randint(-2, 66, n))
+    cy = jnp.asarray(rng.randint(-2, 66, n))
+    v = jnp.asarray(rng.randn(n).astype(np.float32))
+    valid = jnp.asarray(rng.rand(n) < 0.9)
+    a = scatter_add_2d_multi(cx, cy, (None, v), valid, (64, 64),
+                             precision=jax.lax.Precision.HIGHEST,
+                             impl="onehot")
+    b = scatter_add_2d_multi(cx, cy, (None, v), valid, (64, 64),
+                             precision=jax.lax.Precision.HIGHEST,
+                             impl="chunked")
+    np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]), atol=0)
+    np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]), atol=1e-4)
