@@ -177,6 +177,11 @@ class GlobalMatchConfig:
     grid_size: int = 256                 # correlation grid cells
     grid_resolution: float = 0.5         # [m/cell]
     smooth_radius: int = 2               # map-raster dilation (likelihood field)
+    rot_chunk: int = 8                   # rotations scored per lax.map step:
+    # peak HBM holds (chunk, 2G, 2G) correlation planes instead of all
+    # num_rotations at once (identical scores; batched reloc at fleet batch
+    # sizes OOMs without it). Effective chunk is the largest divisor of
+    # num_rotations <= rot_chunk.
 
 
 @dataclasses.dataclass(frozen=True)

@@ -85,24 +85,34 @@ def global_match(scene: PointCloud, map_cloud: PointCloud,
     """
     K = cfg.num_rotations
     angles = jnp.arange(K) * (2 * jnp.pi / K)
+    # largest divisor of K within the configured chunk budget
+    chunk = max(c for c in range(1, max(1, cfg.rot_chunk) + 1) if K % c == 0)
 
     map_img = rasterize(map_cloud.xyz[..., :2], map_cloud.valid, prior_xy, cfg)
     map_img = dilate(map_img, cfg.smooth_radius)
+    G = cfg.grid_size
+    P = 2 * G
+    F_map = jnp.fft.rfft2(map_img, s=(P, P))
 
     def scene_raster(theta):
         R = rot2(theta)
         xy = scene.xyz[..., :2] @ R.T
         return rasterize(xy, scene.valid, jnp.zeros(2), cfg)
 
-    scn_imgs = jax.vmap(scene_raster)(angles)                    # (K, G, G)
-    corr = fft_correlate(map_img, scn_imgs)                      # (K, 2G, 2G)
+    def score_chunk(th):
+        # (chunk, 2G, 2G) correlation planes live at once — not all K; the
+        # full stack at fleet batch sizes is multi-GB of HLO temps (OOM)
+        imgs = jax.vmap(scene_raster)(th)                        # (c, G, G)
+        F_scn = jnp.fft.rfft2(imgs, s=(P, P))
+        corr = jnp.fft.irfft2(F_map[None] * jnp.conj(F_scn), s=(P, P))
+        flat = corr.reshape(th.shape[0], -1)
+        idx = jnp.argmax(flat, axis=-1)
+        return idx, jnp.take_along_axis(flat, idx[:, None], -1)[:, 0]
 
-    flat_idx = jnp.argmax(corr.reshape(K, -1), axis=-1)
-    best_per_rot = jnp.take_along_axis(corr.reshape(K, -1),
-                                       flat_idx[:, None], -1)[:, 0]
+    idxs, bests = jax.lax.map(score_chunk, angles.reshape(K // chunk, chunk))
+    flat_idx = idxs.reshape(K)
+    best_per_rot = bests.reshape(K)
     k = jnp.argmax(best_per_rot)
-    G = cfg.grid_size
-    P = 2 * G
     ij = flat_idx[k]
     si, sj = ij // P, ij % P
     # linear (zero-padded) lag -> signed translation in cells

@@ -62,11 +62,12 @@ def _nn_batched(qx, qy, qc, mx, my, mc):
     """qx/qy/qc: (B, S), mx/my/mc: (B, C)."""
     B, S = qx.shape
     C = mx.shape[1]
-    # robots per grid step: ~3 (R, S, C) f32 arrays live in the kernel
-    # (measured via Mosaic scoped-vmem accounting); default scoped limit is
-    # 16MB, raised to VMEM_LIMIT below
+    # robots per grid step: Mosaic keeps ~4.4 (R, S, C) f32 arrays live in
+    # the kernel (measured from a compile-time scoped-vmem OOM at S=384,
+    # C=512: 83.04MB at R=25 = 3.48MB/robot); budget 6 arrays for headroom.
+    # Default scoped limit is 16MB, raised to VMEM_LIMIT below.
     VMEM_LIMIT = 64 << 20
-    per_robot = S * C * 4 * 3
+    per_robot = S * C * 4 * 6
     R = max(1, min(B, (VMEM_LIMIT * 9 // 10) // per_robot))
     num_steps = (B + R - 1) // R
     padb = num_steps * R - B
