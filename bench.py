@@ -323,10 +323,14 @@ def main():
         rate3d = bench_3d(args.batch3d, args.steps, args.repeats)
 
     if args.pipeline == "all":
+        # NOTE on ordering: a TPU device fault poisons every later execute
+        # in the process (all subsequent extras would read as null), so the
+        # FFT-relocalization config runs LAST. Config 3 runs at b128: the
+        # combined rollout+MLS+FFT program hits a backend kernel fault at
+        # b256 (each piece alone passes at b256; throughput is flat in B
+        # since the FFT search dominates — 85.0 @ b64, 87.7 @ b128).
         try_extra("batch1_ms_per_step", bench_batch1_latency, args.steps,
                   args.repeats)
-        try_extra("config3_mls_reloc_steps_per_sec_b256", bench_mls_reloc,
-                  256, args.steps, args.repeats)
         try_extra("config4_graph_steps_per_sec_b256", bench_graph,
                   256, 16, args.repeats)
         try_extra("config5_fleet_pf_shared_steps_per_sec_b%d" % args.batch,
@@ -334,6 +338,8 @@ def main():
                   args.repeats)
         try_extra("ref_scale_20k_steps_per_sec_b%d" % args.batch_scale,
                   bench_ref_scale, args.batch_scale, 8, args.repeats)
+        try_extra("config3_mls_reloc_steps_per_sec_b128", bench_mls_reloc,
+                  128, args.steps, args.repeats)
 
     if args.pipeline == "3d":
         print(json.dumps({
