@@ -129,22 +129,26 @@ def segment_ground(cloud: PointCloud, cfg: GroundSegConfig) -> GroundSegResult:
         proto_r = jnp.sum(chosen * r2[:, None], axis=0).reshape(S, L)
         proto_h = jnp.sum(chosen * z[:, None], axis=0).reshape(S, L)
     else:
+        # Sort-based prototype extraction. XLA TPU scatter-ADD runs at
+        # bandwidth speed, but scatter-MIN costs ~4.4 ms per pass at this
+        # size, and the min->gather->min->gather prototype chain serialized
+        # ~5 memory-bound passes (~23 ms of the 50 ms ref-scale call).
+        # One stable 2-key sort by (bin, zq) replaces the whole chain: the
+        # first row of each bin segment IS the prototype (mm-quantized min
+        # z, original-index tiebreak via stability — semantics identical),
+        # and everything downstream is boundary-masked scatter-adds.
         K = S * L
-        nidx = jnp.arange(N, dtype=jnp.int32)
-        counts = jnp.zeros(K + 1, jnp.int32).at[flat].add(1)
         zq_ok = jnp.where(ok, zq, imax)
-        bin_minz = jnp.full(K + 1, imax, jnp.int32).at[flat].min(zq_ok)
-        is_proto = ok & (zq_ok == bin_minz[flat])
-        # first-index tiebreak among the bin's minima (reference first-hit)
-        pidx = jnp.where(is_proto, nidx, imax)
-        bin_pidx = jnp.full(K + 1, imax, jnp.int32).at[flat].min(pidx)
-        chosen_pt = is_proto & (nidx == bin_pidx[flat])           # (N,)
-        sel = chosen_pt.astype(z.dtype)
-        proto_r = jnp.zeros(K + 1, z.dtype).at[flat].add(
-            sel * r2)[:K].reshape(S, L)
-        proto_h = jnp.zeros(K + 1, z.dtype).at[flat].add(
-            sel * z)[:K].reshape(S, L)
-        bin_count = counts[:K].reshape(S, L)
+        sf, _, sr, sz = jax.lax.sort((flat, zq_ok, r2, z), num_keys=2,
+                                     is_stable=True)
+        boundary = jnp.concatenate(
+            [jnp.ones(1, bool), sf[1:] != sf[:-1]])
+        sel = boundary.astype(z.dtype)
+        acc = jnp.zeros((K + 1, 3), z.dtype).at[sf].add(
+            jnp.stack([sel * sr, sel * sz, jnp.ones_like(sz)], -1))
+        proto_r = acc[:K, 0].reshape(S, L)
+        proto_h = acc[:K, 1].reshape(S, L)
+        bin_count = acc[:K, 2].astype(jnp.int32).reshape(S, L)
     # a prototype exists iff the bin has any ok point, i.e. counts >= 1,
     # which the min-points gate subsumes (min_bin_points >= 1)
     sig_valid = bin_count > cfg.min_bin_points  # :211
@@ -237,9 +241,11 @@ def segment_ground(cloud: PointCloud, cfg: GroundSegConfig) -> GroundSegResult:
         g = jnp.matmul(inc.astype(xyz.dtype), table,
                        precision=jax.lax.Precision.HIGHEST)
     else:
+        # one (K+1, 5) row gather: measured 4.1 ms vs 6.2 ms for five
+        # separate 1-D gathers at (16, 20480) on v5e
         padded = jnp.concatenate(
             [table, jnp.zeros((1, 5), table.dtype)], axis=0)   # (K+1, 5)
-        g = jnp.stack([padded[:, c][flat] for c in range(5)], axis=-1)
+        g = padded[flat]
     p_sig_valid = ok & (g[:, 0] > 0.5)
     p_model = g[:, 1] > 0.5
     p_proto_h = g[:, 2]

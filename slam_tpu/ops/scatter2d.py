@@ -65,13 +65,13 @@ def scatter_add_2d_native(cx: jnp.ndarray, cy: jnp.ndarray, values: tuple,
     H, W = shape
     inb = valid & (cx >= 0) & (cy >= 0) & (cx < H) & (cy < W)
     flat = jnp.where(inb, cx * W + cy, H * W)
-    outs = []
-    for v in values:
-        vv = jnp.where(inb, 1.0 if v is None else v, 0.0)
-        acc = jnp.zeros(H * W + 1, jnp.float32).at[flat].add(
-            vv.astype(jnp.float32))
-        outs.append(acc[:H * W].reshape(H, W))
-    return tuple(outs)
+    # one (N, C) row scatter instead of C separate scatters: the serialized
+    # index walk is paid once, each visit applying a C-wide vector add
+    rows = jnp.stack(
+        [jnp.where(inb, 1.0 if v is None else v, 0.0).astype(jnp.float32)
+         for v in values], axis=-1)                          # (N, C)
+    acc = jnp.zeros((H * W + 1, len(values)), jnp.float32).at[flat].add(rows)
+    return tuple(acc[:H * W, c].reshape(H, W) for c in range(len(values)))
 
 
 def scatter_add_2d_chunked(cx: jnp.ndarray, cy: jnp.ndarray, values: tuple,
@@ -165,9 +165,11 @@ def gather_cells_2d(grids: jnp.ndarray, ci: jnp.ndarray, cj: jnp.ndarray,
     ci = jnp.clip(ci, 0, H - 1)
     cj = jnp.clip(cj, 0, W - 1)
     if impl == "native":
+        # one (N, C) row gather — C separate 1-D gathers serialize the index
+        # walk C times (ground.py measured 4.1 ms vs 6.2 ms for its 5-table
+        # case at (16, 20480) on v5e)
         flat = ci * W + cj
-        g2 = grids.reshape(H * W, C)
-        return jnp.stack([g2[:, c][flat] for c in range(C)], axis=-1)
+        return grids.reshape(H * W, C)[flat]
     X = _onehot(ci, H, jnp.ones(N, bool))   # (N, H)
     Y = _onehot(cj, W, jnp.ones(N, bool))   # (N, W)
     A = jnp.einsum("nh,hwc->nwc", X, grids, precision=precision)
