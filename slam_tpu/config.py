@@ -101,6 +101,11 @@ class HeightConfig:
     y_wheel_dist: float = 0.5            # icpTools.cpp:305
     max_nn_dist_sq: float = 9.0          # icpTools.cpp:347 (<3 m squared)
     min_corr_points: int = 4             # icpTools.cpp:357
+    # "cloud": NN into the exported ground cloud (reference dataflow);
+    # "grid": NN into a local window of the persistent ground centroid grid
+    # directly — same correspondences (every acceptable match is <3 m from a
+    # wheel), no per-macro top-k export. ref_scale_config uses "grid".
+    source: str = "cloud"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -324,6 +329,7 @@ def ref_scale_config() -> SlamConfig:
         c,
         sim=dataclasses.replace(c.sim, num_azimuth=640, beam_max_range=100.0),
         ground=dataclasses.replace(c.ground, signal_capacity=64),
+        height=dataclasses.replace(c.height, source="grid"),
         icp=dataclasses.replace(c.icp, inlier_dist=5.0, max_points=20000,
                                 ga_num_bins=384),
         cloud=dataclasses.replace(c.cloud, scan_capacity=20480,

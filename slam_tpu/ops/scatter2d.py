@@ -65,13 +65,15 @@ def scatter_add_2d_native(cx: jnp.ndarray, cy: jnp.ndarray, values: tuple,
     H, W = shape
     inb = valid & (cx >= 0) & (cy >= 0) & (cx < H) & (cy < W)
     flat = jnp.where(inb, cx * W + cy, H * W)
-    # one (N, C) row scatter instead of C separate scatters: the serialized
-    # index walk is paid once, each visit applying a C-wide vector add
-    rows = jnp.stack(
-        [jnp.where(inb, 1.0 if v is None else v, 0.0).astype(jnp.float32)
-         for v in values], axis=-1)                          # (N, C)
-    acc = jnp.zeros((H * W + 1, len(values)), jnp.float32).at[flat].add(rows)
-    return tuple(acc[:H * W, c].reshape(H, W) for c in range(len(values)))
+    # per-channel 1-D scatters beat one (N, C) row scatter on v5e: measured
+    # 14.5 vs 19.9 ms/call at (16, 20480, 5) into 384^2 — the row variant's
+    # lane-padded (N, C->128) updates cost more than C index walks
+    outs = []
+    for v in values:
+        vv = jnp.where(inb, 1.0 if v is None else v, 0.0).astype(jnp.float32)
+        acc = jnp.zeros((H * W + 1,), jnp.float32).at[flat].add(vv)
+        outs.append(acc[:H * W].reshape(H, W))
+    return tuple(outs)
 
 
 def scatter_add_2d_chunked(cx: jnp.ndarray, cy: jnp.ndarray, values: tuple,

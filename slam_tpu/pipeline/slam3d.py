@@ -258,11 +258,18 @@ def process_frame_3d(state: SlamState, ground_map: GroundMap, scan_tilted,
     pose4_pre = jnp.concatenate([fused, state.pose[3:4]])
     map_pose = jnp.concatenate([jnp.where(icp.ok, icp.pose, pred),
                                 state.pose[3:4]])
-    new_z = height_interpolate(ground_map.cloud, pose4_pre, cfg.height)
+    if cfg.height.source == "grid":
+        from slam_tpu.ops.height import height_interpolate_grid
+        new_z = height_interpolate_grid(ground_map.grid, pose4_pre,
+                                        cfg.height)
+        have_map = jnp.sum(ground_map.grid.count >= 1.0) >= \
+            cfg.height.min_corr_points
+    else:
+        new_z = height_interpolate(ground_map.cloud, pose4_pre, cfg.height)
+        have_map = ground_map.cloud.count() >= cfg.height.min_corr_points
     # bootstrap: empty ground map -> current scan's ground points at the pose
     gwx, gwy = se2_apply_xy(map_pose[:3], gx, gy)
     gwz = gz + map_pose[3]
-    have_map = ground_map.cloud.count() >= cfg.height.min_corr_points
     z_scan = height_interpolate_planes(gwx, gwy, gwz, gvalid, pose4_pre,
                                        cfg.height)
     pose4 = pose4_pre.at[3].set(jnp.where(have_map, new_z, z_scan))
@@ -284,8 +291,9 @@ def process_frame_3d(state: SlamState, ground_map: GroundMap, scan_tilted,
         map_cloud = export_points(mg, state.map_cloud.capacity,
                                   ga_threshold=cfg.icp.ga_threshold,
                                   recall=cfg.cloud.export_recall)
-        gnd_cloud = export_points(gg, ground_map.cloud.capacity,
-                                  recall=cfg.cloud.export_recall)
+        gnd_cloud = ground_map.cloud if cfg.height.source == "grid" else \
+            export_points(gg, ground_map.cloud.capacity,
+                          recall=cfg.cloud.export_recall)
     else:
         map_cloud = state.map_cloud
         gnd_cloud = ground_map.cloud
@@ -367,9 +375,10 @@ def rollout_3d(state: SlamState, world: World3D, ground_map, cfg: SlamConfig,
                 recall=cfg.cloud.export_recall)
             planes = (ex, ey, ega, evalid)
             s = s.replace(map_cloud=planes_to_cloud(ex, ey, ega, evalid, ez))
-        gm = GroundMap(grid=gm.grid,
-                       cloud=export_points(gm.grid, gm.cloud.capacity,
-                                           recall=cfg.cloud.export_recall))
+        if cfg.height.source != "grid":
+            gm = GroundMap(grid=gm.grid,
+                           cloud=export_points(gm.grid, gm.cloud.capacity,
+                                               recall=cfg.cloud.export_recall))
 
         def tick(c, _):
             ss, g = c
@@ -407,9 +416,10 @@ def rollout_3d_with_graph(state: SlamState, world: World3D,
 
     def macro(carry, _):
         s, gm = carry
-        gm = GroundMap(grid=gm.grid,
-                       cloud=export_points(gm.grid, gm.cloud.capacity,
-                                           recall=cfg.cloud.export_recall))
+        if cfg.height.source != "grid":
+            gm = GroundMap(grid=gm.grid,
+                           cloud=export_points(gm.grid, gm.cloud.capacity,
+                                               recall=cfg.cloud.export_recall))
 
         def tick(c, _):
             ss, g = c

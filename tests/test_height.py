@@ -51,3 +51,35 @@ def test_degenerate_single_point_fallback():
     z = height_interpolate(one, pose, cfg)
     # all 4 wheels match the same point -> vertical-normal fallback
     assert abs(float(z) - (0.2 + cfg.robot_height)) < 1e-5
+
+
+def test_grid_source_matches_cloud_source():
+    """height_interpolate_grid(grid) == height_interpolate(exact export of
+    the same grid): the window slice sees exactly the occupied centroids the
+    export would emit (capacity >= occupancy, recall=1.0), so the 4-wheel
+    correspondences and the fitted plane agree."""
+    import jax
+
+    from slam_tpu.mapping.point_map import (export_points, init_point_map,
+                                            update_point_map)
+    from slam_tpu.ops.height import height_interpolate_grid
+
+    cfg = HeightConfig()
+    rng = np.random.default_rng(3)
+    n = 4000
+    xy = rng.uniform(-20, 20, (n, 2)).astype(np.float32)
+    z = (0.3 + 0.1 * xy[:, 0] - 0.05 * xy[:, 1]
+         + rng.normal(0, 0.02, n)).astype(np.float32)
+    xyz = jnp.array(np.concatenate([xy, z[:, None]], 1))
+    grid = init_point_map(128, resolution=0.5)
+    grid = grid.replace(center=jnp.array([1.0, -2.0]))
+    grid = update_point_map(grid, xyz, jnp.ones(n, bool),
+                            z_precision=jax.lax.Precision.HIGH)
+    occupied = int(jnp.sum(grid.count >= 1.0))
+    cloud = export_points(grid, occupied + 8, recall=1.0)
+    for pose in ([0.0, 0.0, 0.4, 9.0], [5.0, -3.0, 1.2, 9.0],
+                 [-14.0, 11.0, 2.5, 9.0], [60.0, 60.0, 0.0, 9.0]):
+        p = jnp.array(pose)
+        zc = float(height_interpolate(cloud, p, cfg))
+        zg = float(height_interpolate_grid(grid, p, cfg))
+        assert abs(zc - zg) < 1e-4, (pose, zc, zg)
