@@ -301,8 +301,11 @@ def main():
                         "configs 3-5, batch-1, ref-scale")
     p.add_argument("--batch", type=int, default=1024, help="2D fleet size")
     p.add_argument("--batch3d", type=int, default=128, help="3D fleet size")
-    p.add_argument("--batch-scale", type=int, default=32,
-                   help="ref-scale fleet size")
+    p.add_argument("--batch-scale", type=int, default=16,
+                   help="ref-scale fleet size (batch scaling is NEGATIVE at "
+                        "this working point — ~10 MB of grids per robot is "
+                        "HBM-bound, so b16 is the throughput-optimal "
+                        "single-chip operating point; see docs/PERF.md)")
     p.add_argument("--steps", type=int, default=20, help="steps per block")
     p.add_argument("--repeats", type=int, default=3)
     args = p.parse_args()

@@ -57,8 +57,13 @@ def init_state_3d(key, cfg: SlamConfig, world: World3D,
 
 
 def init_ground_map(cfg: SlamConfig) -> GroundMap:
+    # with grid-direct height interpolation the exported ground cloud is
+    # never read — keep a stub container (pytree shape compat) instead of
+    # map_capacity dead slots riding every donated scan carry (~640 KB/robot
+    # at reference scale)
+    cap = 8 if cfg.height.source == "grid" else cfg.cloud.map_capacity
     return GroundMap(grid=init_point_map(cfg.mls.size_x),
-                     cloud=make_cloud(cfg.cloud.map_capacity))
+                     cloud=make_cloud(cap))
 
 
 def build_scene_3d_planes(scan_xyz, hit, cfg: SlamConfig):
