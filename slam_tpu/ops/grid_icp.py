@@ -114,20 +114,36 @@ def nearest_point_field(grid: PointMapGrid, resolution: float,
                         center=grid.center, resolution=resolution)
 
 
-def lookup(field: NearestField, q: jnp.ndarray, q_ga: jnp.ndarray):
-    """Per-query nearest map point of the query's class: (pt (S,2), ok)."""
+def pack_field(field: NearestField) -> jnp.ndarray:
+    """Stack (px, py, valid) channel-last into one (2*G*G, 3) row table so a
+    lookup is ONE row gather. Three separate per-channel gathers compile to
+    three serialized gather fusions (~1 ms each at 16x4096 queries on v5e —
+    47% of the whole ref-scale step inside the 20-iteration fit loop); the
+    packed row gather pays the index walk once."""
     G = field.px.shape[-1]
-    rel = q - field.center
-    cxi = jnp.floor(rel[:, 0] / field.resolution).astype(jnp.int32) + G // 2
-    cyi = jnp.floor(rel[:, 1] / field.resolution).astype(jnp.int32) + G // 2
+    return jnp.stack([field.px, field.py,
+                      field.valid.astype(field.px.dtype)],
+                     axis=-1).reshape(2 * G * G, 3)
+
+
+def _lookup_packed(table, G, center, resolution, q, q_ga):
+    """lookup() against a pack_field table: (pt (S,2), ok) in one gather."""
+    rel = q - center
+    cxi = jnp.floor(rel[:, 0] / resolution).astype(jnp.int32) + G // 2
+    cyi = jnp.floor(rel[:, 1] / resolution).astype(jnp.int32) + G // 2
     inb = (cxi >= 0) & (cyi >= 0) & (cxi < G) & (cyi < G)
     cxi = jnp.clip(cxi, 0, G - 1)
     cyi = jnp.clip(cyi, 0, G - 1)
     c = q_ga.astype(jnp.int32)
-    px = field.px[c, cxi, cyi]
-    py = field.py[c, cxi, cyi]
-    ok = inb & field.valid[c, cxi, cyi]
-    return jnp.stack([px, py], -1), ok
+    row = table[(c * G + cxi) * G + cyi]                   # (S, 3)
+    return row[:, :2], inb & (row[:, 2] > 0.5)
+
+
+def lookup(field: NearestField, q: jnp.ndarray, q_ga: jnp.ndarray):
+    """Per-query nearest map point of the query's class: (pt (S,2), ok)."""
+    G = field.px.shape[-1]
+    return _lookup_packed(pack_field(field), G, field.center,
+                          field.resolution, q, q_ga)
 
 
 def icp_fit_grid(scene_xyz, scene_valid, scene_ga, field: NearestField,
@@ -142,12 +158,16 @@ def icp_fit_grid(scene_xyz, scene_valid, scene_ga, field: NearestField,
         (jnp.sum(field.n_class) >= 5)
     class_on = field.n_class > 3                      # (2,)
     participate = scene_valid & class_on[scene_ga.astype(jnp.int32)]
+    # pack once OUTSIDE the iteration loop (don't rely on while-LICM)
+    G = field.px.shape[-1]
+    table = pack_field(field)
 
     def body(carry, _):
         pose, converged, num_corr, mean_res, delta = carry
         R = rot2(pose[2])
         q = scene_xyz @ R.T + pose[:2]
-        m_pt, m_ok = lookup(field, q, scene_ga)
+        m_pt, m_ok = _lookup_packed(table, G, field.center,
+                                    field.resolution, q, scene_ga)
         d2 = jnp.sum((q - m_pt) ** 2, axis=-1)
         inlier = participate & m_ok & (d2 < cfg.inlier_dist)
         w = inlier.astype(q.dtype)
