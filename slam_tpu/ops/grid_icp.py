@@ -190,8 +190,26 @@ def icp_fit_grid(scene_xyz, scene_valid, scene_ga, field: NearestField,
         return (pose, stop, num_corr, mean_res, delta), None
 
     init = (init_pose, ~ok, jnp.int32(0), jnp.float32(0.0), jnp.float32(jnp.inf))
-    (pose, _, num_corr, mean_res, delta), _ = jax.lax.scan(
-        body, init, None, length=cfg.max_iterations)
+    if cfg.loop == "while":
+        # early exit: measured live iterations at ref-scale are 3-11 of 20
+        # (min_delta hits quickly once the pose settles), so running only
+        # until the batch converges roughly halves the fit-loop cost. Under
+        # vmap the while batching rule keeps iterating while ANY robot is
+        # live and per-lane selects freeze the rest — identical outputs to
+        # the scan, which freezes converged lanes the same way.
+        def w_cond(c):
+            return (c[0] < cfg.max_iterations) & ~jnp.all(c[1][1])
+
+        def w_body(c):
+            i, carry = c
+            carry, _ = body(carry, None)
+            return (i + 1, carry)
+
+        _, (pose, _, num_corr, mean_res, delta) = jax.lax.while_loop(
+            w_cond, w_body, (jnp.int32(0), init))
+    else:
+        (pose, _, num_corr, mean_res, delta), _ = jax.lax.scan(
+            body, init, None, length=cfg.max_iterations)
     pose = jnp.where(ok, pose, init_pose)
     return IcpResult(pose=pose, ok=ok & (num_corr > 0), num_corr=num_corr,
                      delta=delta, mean_residual=mean_res)

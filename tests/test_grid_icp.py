@@ -90,3 +90,23 @@ def test_pipeline_grid_matcher_ate():
     final, (est, true) = slam2d.rollout(st, world, cfg, 60)
     err = float(slam2d.ate(est[10:], true[10:]))
     assert err < 0.3, f"grid-matcher ATE too large: {err}"
+
+
+def test_while_loop_early_exit_bit_identical():
+    """cfg.icp.loop="while" (batch early exit) must match the fixed
+    20-iteration scan bit-for-bit: the scan body freezes converged lanes,
+    and the while batching rule applies the same per-lane select."""
+    import dataclasses
+    from slam_tpu.config import sim2d_config
+    from slam_tpu.pipeline import slam2d
+    from slam_tpu.sim import world2d
+    c = sim2d_config()
+    outs = {}
+    for loop in ("scan", "while"):
+        cfg = dataclasses.replace(
+            c, icp=dataclasses.replace(c.icp, matcher="grid", loop=loop))
+        world = world2d.make_world(jax.random.PRNGKey(42), cfg.sim)
+        st = slam2d.init_state(jax.random.PRNGKey(0), cfg)
+        _, (est, _) = slam2d.rollout(st, world, cfg, 40)
+        outs[loop] = est
+    assert jnp.array_equal(outs["scan"], outs["while"])
