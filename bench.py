@@ -293,6 +293,29 @@ def bench_fleet_pf_shared(batch, steps, repeats):
     return _timed_rate(run_block, states, batch, 4 * n_macro, repeats)
 
 
+def _await_backend():
+    """Survive a stale TPU device claim (a killed client wedges backend init
+    with UNAVAILABLE for ~1-2 h). JAX caches the failed backend in-process,
+    so retrying means re-exec'ing: sleep, then replace this process with a
+    fresh attempt, bounded by SLAM_TPU_BENCH_MAX_ATTEMPTS (each failed init
+    already spends ~25 min in the client's own retry loop)."""
+    import os
+    attempt = int(os.environ.get("SLAM_TPU_BENCH_ATTEMPT", "0"))
+    max_attempts = int(os.environ.get("SLAM_TPU_BENCH_MAX_ATTEMPTS", "8"))
+    try:
+        jax.devices()
+        return
+    except RuntimeError as e:
+        if "UNAVAILABLE" not in str(e) or attempt + 1 >= max_attempts:
+            raise
+        print(f"bench: backend unavailable (attempt {attempt + 1}/"
+              f"{max_attempts}) — stale device claim? retrying in 120 s",
+              file=sys.stderr, flush=True)
+        time.sleep(120)
+        os.environ["SLAM_TPU_BENCH_ATTEMPT"] = str(attempt + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--pipeline",
@@ -310,6 +333,7 @@ def main():
     p.add_argument("--repeats", type=int, default=3)
     args = p.parse_args()
 
+    _await_backend()
     extra = {"kernel_guard": kernel_guard()}  # raises on kernel regression
 
     def try_extra(name, fn, *a):
