@@ -16,6 +16,8 @@ highest; one-hot entries are exact 0/1).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -55,6 +57,12 @@ def scatter_add_2d(cx: jnp.ndarray, cy: jnp.ndarray, values: jnp.ndarray,
 # scatter (O(N) at ~35 ns/element) wins, and its transients stay O(N)
 ONEHOT_SCATTER_LIMIT = 1 << 22
 
+# what impl="auto" resolves to beyond the limit: "native" (serialized O(N)
+# scatter) or "chunked" (one-hot matmuls streamed over N-chunks — keeps the
+# MXU path at reference scan sizes at O(chunk*(H+W)) transients). Env-gated
+# so the two engines can be A/B'd through the real pipeline per process.
+LARGE_N_IMPL = os.environ.get("SLAM_TPU_LARGE_SCATTER", "native")
+
 
 def scatter_add_2d_native(cx: jnp.ndarray, cy: jnp.ndarray, values: tuple,
                           valid: jnp.ndarray, shape: tuple) -> tuple:
@@ -79,10 +87,15 @@ def scatter_add_2d_native(cx: jnp.ndarray, cy: jnp.ndarray, values: tuple,
 def scatter_add_2d_chunked(cx: jnp.ndarray, cy: jnp.ndarray, values: tuple,
                            valid: jnp.ndarray, shape: tuple,
                            precision=jax.lax.Precision.DEFAULT,
+                           precisions: tuple | None = None,
                            chunk: int = 2048) -> tuple:
     """One-hot matmul scatter streamed over N-chunks: keeps the MXU path at
     reference scan sizes where a whole-N one-hot would be an O(N*(H+W))
-    transient. Exact like the one-hot path (0/1 entries, f32 accumulate)."""
+    transient. Exact like the one-hot path (0/1 entries, f32 accumulate).
+
+    precisions: optional per-channel overrides, same contract as
+    scatter_add_2d_multi (absolute-coordinate channels need more than
+    DEFAULT's bf16 inputs)."""
     H, W = shape
     N = cx.shape[0]
     nc = -(-N // chunk)
@@ -101,10 +114,11 @@ def scatter_add_2d_chunked(cx: jnp.ndarray, cy: jnp.ndarray, values: tuple,
         X = _onehot(jnp.clip(cxc, 0, H - 1), H, inb)
         Y = _onehot(jnp.clip(cyc, 0, W - 1), W, inb)
         out = []
-        for a, v in zip(accs, vals):
+        for k, (a, v) in enumerate(zip(accs, vals)):
+            p = precision if precisions is None or precisions[k] is None \
+                else precisions[k]
             Xv = X if v is None else X * sl(v, i * chunk, chunk)[:, None]
-            out.append(a + jnp.einsum("nh,nw->hw", Xv, Y,
-                                      precision=precision))
+            out.append(a + jnp.einsum("nh,nw->hw", Xv, Y, precision=p))
         return tuple(out)
 
     init = tuple(jnp.zeros((H, W), jnp.float32) for _ in values)
@@ -127,17 +141,19 @@ def scatter_add_2d_multi(cx: jnp.ndarray, cy: jnp.ndarray, values: tuple,
     more than DEFAULT's bf16 inputs.
 
     impl: "onehot" (MXU matmuls, exact at f32), "native" (serialized TPU
-    scatter, O(N), f32), or "auto" — one-hot until N*max(H,W) exceeds
-    ONEHOT_SCATTER_LIMIT, native beyond (reference-scale scans)."""
+    scatter, O(N), f32), "chunked" (streamed one-hot), or "auto" — one-hot
+    until N*max(H,W) exceeds ONEHOT_SCATTER_LIMIT, LARGE_N_IMPL beyond
+    (reference-scale scans)."""
     H, W = shape
     if impl == "auto":
-        impl = ("native" if cx.shape[0] * max(H, W) > ONEHOT_SCATTER_LIMIT
+        impl = (LARGE_N_IMPL if cx.shape[0] * max(H, W) > ONEHOT_SCATTER_LIMIT
                 else "onehot")
     if impl == "native":
         return scatter_add_2d_native(cx, cy, values, valid, shape)
     if impl == "chunked":
         return scatter_add_2d_chunked(cx, cy, values, valid, shape,
-                                      precision=precision)
+                                      precision=precision,
+                                      precisions=precisions)
     inb = valid & (cx >= 0) & (cy >= 0) & (cx < H) & (cy < W)
     X = _onehot(jnp.clip(cx, 0, H - 1), H, inb)           # (N, H)
     Y = _onehot(jnp.clip(cy, 0, W - 1), W, inb)           # (N, W)

@@ -219,3 +219,37 @@ def test_scatter_chunked_matches_onehot():
                              impl="chunked")
     np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]), atol=0)
     np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]), atol=1e-4)
+
+
+def test_scatter_chunked_matches_native_large_n():
+    """The two large-N engines ("auto" resolves to scatter2d.LARGE_N_IMPL
+    past ONEHOT_SCATTER_LIMIT) must agree: chunked one-hot at HIGHEST
+    precision vs the native serialized scatter, including per-channel
+    precision overrides."""
+    from slam_tpu.ops import scatter2d
+
+    rng = np.random.RandomState(7)
+    n, G = 20480, 384
+    cx = jnp.asarray(rng.randint(-4, G + 4, n))
+    cy = jnp.asarray(rng.randint(-4, G + 4, n))
+    v1 = jnp.asarray(rng.randn(n).astype(np.float32))
+    v2 = jnp.asarray((rng.randn(n) * 100.0).astype(np.float32))
+    valid = jnp.asarray(rng.rand(n) < 0.95)
+    hi = jax.lax.Precision.HIGHEST
+    a = scatter2d.scatter_add_2d_native(cx, cy, (None, v1, v2), valid, (G, G))
+    b = scatter2d.scatter_add_2d_chunked(cx, cy, (None, v1, v2), valid,
+                                         (G, G), precision=hi,
+                                         precisions=(None, hi, hi))
+    np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]), atol=0)
+    np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]),
+                               rtol=1e-6, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(a[2]), np.asarray(b[2]),
+                               rtol=1e-6, atol=1e-2)
+    # auto routes to LARGE_N_IMPL past the limit
+    assert n * G > scatter2d.ONEHOT_SCATTER_LIMIT
+    c = scatter2d.scatter_add_2d_multi(cx, cy, (None, v1, v2), valid, (G, G),
+                                       impl="auto")
+    ref = (scatter2d.scatter_add_2d_native if scatter2d.LARGE_N_IMPL ==
+           "native" else scatter2d.scatter_add_2d_chunked)(
+               cx, cy, (None, v1, v2), valid, (G, G))
+    np.testing.assert_allclose(np.asarray(c[0]), np.asarray(ref[0]), atol=0)
