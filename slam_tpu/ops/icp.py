@@ -136,8 +136,24 @@ def icp_fit(scene_xyz, scene_valid, scene_ga, model_xyz, model_valid, model_ga,
         return (pose, stop, num_corr, mean_res, delta), None
 
     init = (init_pose, ~ok, jnp.int32(0), jnp.float32(0.0), jnp.float32(jnp.inf))
-    (pose, _, num_corr, mean_res, delta), _ = jax.lax.scan(
-        body, init, None, length=cfg.max_iterations)
+    if cfg.loop == "while":
+        # batch early exit, same contract as ops/grid_icp.py: bit-identical
+        # to the fixed scan (the body freezes converged lanes; the while
+        # batching rule applies the same per-lane select), but stops paying
+        # O(S*C) fit_step iterations once every batched lane has converged.
+        def w_cond(c):
+            return (c[0] < cfg.max_iterations) & ~jnp.all(c[1][1])
+
+        def w_body(c):
+            i, carry = c
+            carry, _ = body(carry, None)
+            return (i + 1, carry)
+
+        _, (pose, _, num_corr, mean_res, delta) = jax.lax.while_loop(
+            w_cond, w_body, (jnp.int32(0), init))
+    else:
+        (pose, _, num_corr, mean_res, delta), _ = jax.lax.scan(
+            body, init, None, length=cfg.max_iterations)
     pose = jnp.where(ok, pose, init_pose)
     return IcpResult(pose=pose, ok=ok, num_corr=num_corr, delta=delta,
                      mean_residual=mean_res)

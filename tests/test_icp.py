@@ -126,3 +126,27 @@ def test_edge_information_positive_definite():
     info2 = np.asarray(edge_information_2d(jnp.array(t), jnp.array(m2),
                                            jnp.array(w)))
     assert info[0, 0] > info2[0, 0]
+
+
+def test_icp_fit_while_loop_bit_identical():
+    """cfg.loop="while" (batch early exit) must match the fixed scan
+    bit-for-bit on the points matcher too."""
+    import dataclasses
+    import jax
+    from slam_tpu.config import sim2d_config
+    key = jax.random.PRNGKey(3)
+    model = jax.random.uniform(key, (300, 2), minval=-4, maxval=4)
+    theta, t = 0.12, jnp.array([0.3, -0.2])
+    R = jnp.array([[jnp.cos(theta), -jnp.sin(theta)],
+                   [jnp.sin(theta), jnp.cos(theta)]])
+    scene = (model - t) @ R  # inverse transform
+    ga = jnp.zeros(300, bool)
+    valid = jnp.ones(300, bool)
+    outs = {}
+    for loop in ("scan", "while"):
+        cfg = dataclasses.replace(sim2d_config().icp, loop=loop)
+        r = icp_fit(scene, valid, ga, model, valid, ga,
+                    jnp.zeros(3), cfg)
+        outs[loop] = (r.pose, r.num_corr, r.delta, r.mean_residual)
+    for a, b in zip(outs["scan"], outs["while"]):
+        assert jnp.array_equal(a, b)
