@@ -375,3 +375,41 @@ def sim3d_config() -> SlamConfig:
         mls=dataclasses.replace(c.mls, size_x=192, size_y=192, resolution=0.5,
                                 max_range=50.0, update_dist=96),
     )
+
+
+def apply_sweep_overrides(cfg: SlamConfig,
+                          spec: str | None = None) -> SlamConfig:
+    """Apply dotted-path overrides from a sweep spec onto the frozen config
+    tree: "icp.loop=while;cloud.export_recall=1.0". `spec` defaults to the
+    SLAM_TPU_SWEEP_SET environment variable (set per-subprocess by
+    tools/sweep.py — sweeps must not share a process, see
+    tests/test_jax_retrace_footgun.py). Values are coerced to the type of
+    the field they replace; unknown paths raise."""
+    import os
+    if spec is None:
+        spec = os.environ.get("SLAM_TPU_SWEEP_SET", "")
+    for item in filter(None, (s.strip() for s in spec.split(";"))):
+        path, _, raw = item.partition("=")
+        parts = path.split(".")
+        target = cfg
+        for p in parts[:-1]:
+            target = getattr(target, p)
+        old = getattr(target, parts[-1])
+        if isinstance(old, bool):
+            val: object = raw.lower() in ("1", "true", "yes")
+        elif isinstance(old, int):
+            val = int(raw)
+        elif isinstance(old, float):
+            val = float(raw)
+        else:
+            val = raw
+        new_leaf = dataclasses.replace(target, **{parts[-1]: val})
+        node = new_leaf
+        for p in reversed(parts[:-1]):
+            # rebuild the chain up to the root (frozen dataclasses)
+            parent = cfg
+            for q in parts[:parts.index(p)]:
+                parent = getattr(parent, q)
+            node = dataclasses.replace(parent, **{p: node})
+        cfg = node
+    return cfg
