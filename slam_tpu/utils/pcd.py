@@ -1,0 +1,157 @@
+"""PCL .pcd map file interop — the reference's only map persistence format.
+
+The reference saves its aggregated global map with
+`pcl::io::savePCDFileASCII("maps/WPIArun.pcd", ...)`
+(global_matching/src/global_generate.cpp:238) and loads prior maps for
+relocalization with `pcl::io::loadPCDFile(MAP_PATH, ...)`
+(global_match.cpp:258, global_transform.cpp:38). Its point type is either
+plain XYZ or PointXYZGD — xyz plus `ground_adj` / `drivable` uint16 flags
+(ground_segmentation/include/.../PointcloudXYZGD.h:8-21).
+
+This module reads/writes that format for the fixed-capacity PointCloud
+container so prior maps built by the C++ stack drop straight into the
+relocalization path (and our maps open in PCL tooling):
+
+  - ASCII and `binary` DATA encodings (PCL's two common on-disk forms;
+    `binary_compressed` is rejected loudly).
+  - FIELDS x y z [ground_adj] [drivable] — the GD flags round-trip to
+    PointCloud.FLAG_GA / FLAG_DRIVABLE. Unknown extra fields are skipped
+    on load (position-independent: offsets come from the header).
+  - Fixed capacity: load pads invalid slots or keeps the first `capacity`
+    points; save writes only the valid slots (PCL files carry no mask).
+
+Host-side numpy I/O — never traced; call outside jit like checkpoint.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from slam_tpu.types import PointCloud
+
+_TYPE_MAP = {("F", 4): "<f4", ("F", 8): "<f8",
+             ("U", 1): "<u1", ("U", 2): "<u2", ("U", 4): "<u4",
+             ("I", 1): "<i1", ("I", 2): "<i2", ("I", 4): "<i4"}
+
+
+def save_pcd(path: str, cloud: PointCloud, with_flags: bool = True,
+             binary: bool = False) -> int:
+    """Write the valid points of `cloud` as a .pcd file; returns the count.
+
+    with_flags=True writes the PointXYZGD layout (x y z ground_adj
+    drivable, flags as uint16 like PointcloudXYZGD.h); False writes plain
+    xyz. binary=False matches the reference's savePCDFileASCII call.
+    """
+    xyz = np.asarray(cloud.xyz, np.float32)
+    valid = np.asarray(cloud.valid, bool)
+    flags = np.asarray(cloud.flags, np.int32)
+    if xyz.ndim != 2:
+        raise ValueError("save_pcd takes a single (unbatched) cloud; "
+                         f"got xyz shape {xyz.shape}")
+    xyz, flags = xyz[valid], flags[valid]
+    n = xyz.shape[0]
+    ga = ((flags & PointCloud.FLAG_GA) != 0).astype(np.uint16)
+    drv = ((flags & PointCloud.FLAG_DRIVABLE) != 0).astype(np.uint16)
+
+    if with_flags:
+        fields, sizes, types = "x y z ground_adj drivable", "4 4 4 2 2", \
+            "F F F U U"
+        rec = np.zeros(n, dtype=[("x", "<f4"), ("y", "<f4"), ("z", "<f4"),
+                                 ("ground_adj", "<u2"), ("drivable", "<u2")])
+        rec["ground_adj"], rec["drivable"] = ga, drv
+    else:
+        fields, sizes, types = "x y z", "4 4 4", "F F F"
+        rec = np.zeros(n, dtype=[("x", "<f4"), ("y", "<f4"), ("z", "<f4")])
+    rec["x"], rec["y"], rec["z"] = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+
+    count = " ".join("1" for _ in fields.split())
+    header = (
+        "# .PCD v0.7 - Point Cloud Data file format\n"
+        "VERSION 0.7\n"
+        f"FIELDS {fields}\n"
+        f"SIZE {sizes}\n"
+        f"TYPE {types}\n"
+        f"COUNT {count}\n"
+        f"WIDTH {n}\nHEIGHT 1\nVIEWPOINT 0 0 0 1 0 0 0\nPOINTS {n}\n"
+        f"DATA {'binary' if binary else 'ascii'}\n")
+    with open(path, "wb") as f:
+        f.write(header.encode())
+        if binary:
+            f.write(rec.tobytes())
+        else:
+            cols = [("%.6f" if t == "F" else "%d") for t in types.split()]
+            for row in rec:
+                f.write((" ".join(c % v for c, v in zip(cols, row)) + "\n")
+                        .encode())
+    return n
+
+
+def load_pcd(path: str, capacity: int | None = None) -> PointCloud:
+    """Read a .pcd file into a fixed-capacity PointCloud.
+
+    Requires x/y/z fields; ground_adj/drivable (the PointXYZGD flags) map
+    to FLAG_GA/FLAG_DRIVABLE when present, other fields are ignored.
+    capacity=None sizes the container to the file's point count; otherwise
+    the first `capacity` points are kept / missing slots are invalid.
+    """
+    import jax.numpy as jnp
+
+    with open(path, "rb") as f:
+        hdr: dict[str, list[str]] = {}
+        while True:
+            line = f.readline().decode("ascii", "replace").strip()
+            if not line or line.startswith("#"):
+                continue
+            key, *vals = line.split()
+            hdr[key.upper()] = vals
+            if key.upper() == "DATA":
+                break
+        for req in ("FIELDS", "SIZE", "TYPE", "POINTS", "DATA"):
+            if req not in hdr:
+                raise ValueError(f"pcd header missing {req}: {path}")
+        fields = hdr["FIELDS"]
+        counts = [int(c) for c in hdr.get("COUNT", ["1"] * len(fields))]
+        n = int(hdr["POINTS"][0])
+        data = hdr["DATA"][0].lower()
+        dtype = np.dtype([
+            (name if cnt == 1 else f"{name}{k}",
+             _TYPE_MAP[(t.upper(), int(s))])
+            for name, s, t, cnt in zip(fields, hdr["SIZE"], hdr["TYPE"],
+                                       counts)
+            for k in range(cnt)])
+        if data == "ascii":
+            raw = np.loadtxt(f, dtype=np.float64, ndmin=2)[:n]
+            rec = np.zeros(n, dtype)
+            for i, name in enumerate(dtype.names):
+                rec[name] = raw[:, i]
+        elif data == "binary":
+            rec = np.frombuffer(f.read(n * dtype.itemsize), dtype, count=n)
+        else:
+            raise ValueError(
+                f"unsupported pcd DATA encoding '{data}' (ascii/binary "
+                f"only; re-save binary_compressed files with pcl_convert_"
+                f"pcd_ascii_binary): {path}")
+
+    for axis in ("x", "y", "z"):
+        if axis not in (rec.dtype.names or ()):
+            raise ValueError(f"pcd file has no '{axis}' field: {path}")
+    xyz = np.stack([rec["x"], rec["y"], rec["z"]], -1).astype(np.float32)
+    # PCL writes invalid points as NaN rows (organized clouds)
+    good = np.isfinite(xyz).all(-1)
+    flags = np.zeros(n, np.int32)
+    if "ground_adj" in rec.dtype.names:
+        flags |= (rec["ground_adj"].astype(np.int32) != 0) * \
+            PointCloud.FLAG_GA
+    if "drivable" in rec.dtype.names:
+        flags |= (rec["drivable"].astype(np.int32) != 0) * \
+            PointCloud.FLAG_DRIVABLE
+    xyz = np.where(good[:, None], np.nan_to_num(xyz), 0.0)
+
+    cap = n if capacity is None else capacity
+    out_xyz = np.zeros((cap, 3), np.float32)
+    out_valid = np.zeros(cap, bool)
+    out_flags = np.zeros(cap, np.int32)
+    m = min(cap, n)
+    out_xyz[:m], out_valid[:m], out_flags[:m] = xyz[:m], good[:m], flags[:m]
+    return PointCloud(xyz=jnp.asarray(out_xyz), valid=jnp.asarray(out_valid),
+                      flags=jnp.asarray(out_flags))

@@ -1,0 +1,118 @@
+"""PCD interop (utils/pcd.py) — the reference's map persistence format
+(savePCDFileASCII global_generate.cpp:238, loadPCDFile global_match.cpp:258,
+PointXYZGD fields PointcloudXYZGD.h:8-21)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from slam_tpu.types import PointCloud
+from slam_tpu.utils.pcd import load_pcd, save_pcd
+
+
+def _cloud(n=37, cap=48, seed=0):
+    rng = np.random.RandomState(seed)
+    xyz = np.zeros((cap, 3), np.float32)
+    xyz[:n] = rng.uniform(-40, 40, (n, 3)).astype(np.float32)
+    valid = np.arange(cap) < n
+    flags = np.zeros(cap, np.int32)
+    flags[:n] = rng.choice(
+        [0, PointCloud.FLAG_GA, PointCloud.FLAG_DRIVABLE,
+         PointCloud.FLAG_GA | PointCloud.FLAG_DRIVABLE], n)
+    return PointCloud(xyz=jnp.asarray(xyz), valid=jnp.asarray(valid),
+                      flags=jnp.asarray(flags))
+
+
+@pytest.mark.parametrize("binary", [False, True])
+def test_roundtrip_with_gd_flags(tmp_path, binary):
+    c = _cloud()
+    path = str(tmp_path / "map.pcd")
+    n = save_pcd(path, c, binary=binary)
+    assert n == 37
+    back = load_pcd(path, capacity=48)
+    assert back.capacity == 48
+    assert int(back.valid.sum()) == 37
+    v = np.asarray(back.valid)
+    np.testing.assert_allclose(np.asarray(back.xyz)[v],
+                               np.asarray(c.xyz)[:37], atol=2e-5)
+    ga = np.asarray(back.is_ga())[v]
+    np.testing.assert_array_equal(
+        ga, (np.asarray(c.flags)[:37] & PointCloud.FLAG_GA) != 0)
+    drv = (np.asarray(back.flags)[v] & PointCloud.FLAG_DRIVABLE) != 0
+    np.testing.assert_array_equal(
+        drv, (np.asarray(c.flags)[:37] & PointCloud.FLAG_DRIVABLE) != 0)
+
+
+def test_plain_xyz_and_capacity(tmp_path):
+    c = _cloud(n=20, cap=32)
+    path = str(tmp_path / "plain.pcd")
+    save_pcd(path, c, with_flags=False)
+    auto = load_pcd(path)                    # capacity = file point count
+    assert auto.capacity == 20 and int(auto.valid.sum()) == 20
+    assert int(auto.flags.sum()) == 0
+    trunc = load_pcd(path, capacity=8)       # keep first 8
+    assert trunc.capacity == 8 and int(trunc.valid.sum()) == 8
+    np.testing.assert_allclose(np.asarray(trunc.xyz),
+                               np.asarray(c.xyz)[:8], atol=2e-5)
+
+
+def test_loads_pcl_style_file_with_extra_fields(tmp_path):
+    """A hand-written PCL-flavored file: extra intensity field (skipped),
+    NaN row (PCL's invalid-point encoding -> masked), count from header."""
+    body = ("# .PCD v0.7 - Point Cloud Data file format\n"
+            "VERSION 0.7\n"
+            "FIELDS x y z intensity ground_adj drivable\n"
+            "SIZE 4 4 4 4 2 2\n"
+            "TYPE F F F F U U\n"
+            "COUNT 1 1 1 1 1 1\n"
+            "WIDTH 3\nHEIGHT 1\nVIEWPOINT 0 0 0 1 0 0 0\nPOINTS 3\n"
+            "DATA ascii\n"
+            "1.5 -2.0 0.25 99.0 1 0\n"
+            "nan nan nan 0.0 0 0\n"
+            "3.0 4.0 -1.0 17.0 0 1\n")
+    path = tmp_path / "pcl.pcd"
+    path.write_text(body)
+    c = load_pcd(str(path))
+    assert c.capacity == 3
+    np.testing.assert_array_equal(np.asarray(c.valid), [True, False, True])
+    np.testing.assert_allclose(np.asarray(c.xyz)[0], [1.5, -2.0, 0.25])
+    assert bool(c.is_ga()[0]) and not bool(c.is_ga()[2])
+    assert (int(c.flags[2]) & PointCloud.FLAG_DRIVABLE) != 0
+    assert np.all(np.isfinite(np.asarray(c.xyz)))  # NaN row zeroed
+
+
+def test_binary_compressed_rejected(tmp_path):
+    path = tmp_path / "bc.pcd"
+    path.write_text("VERSION 0.7\nFIELDS x y z\nSIZE 4 4 4\nTYPE F F F\n"
+                    "COUNT 1 1 1\nWIDTH 1\nHEIGHT 1\nPOINTS 1\n"
+                    "DATA binary_compressed\n")
+    with pytest.raises(ValueError, match="binary_compressed"):
+        load_pcd(str(path))
+
+
+def test_prior_map_feeds_relocalization(tmp_path):
+    """The reference workflow: a prior obstacle map saved as .pcd
+    (global_generate.cpp:238) is reloaded and used as the relocalization
+    target (global_match.cpp:258). Here: export our point map, save/load
+    through the pcd format, and check the loaded cloud is usable by the
+    FFT correlative matcher's map rasterization."""
+    import jax
+    from slam_tpu.config import sim2d_config
+    from slam_tpu.ops.fft_match import rasterize
+
+    cfg = sim2d_config()
+    rng = np.random.RandomState(7)
+    n = 200
+    xyz = np.zeros((256, 3), np.float32)
+    xyz[:n, :2] = rng.uniform(-10, 10, (n, 2))
+    cloud = PointCloud(xyz=jnp.asarray(xyz),
+                       valid=jnp.asarray(np.arange(256) < n),
+                       flags=jnp.zeros(256, jnp.int32))
+    path = str(tmp_path / "prior.pcd")
+    save_pcd(path, cloud, binary=True)
+    prior = load_pcd(path, capacity=256)
+    g1 = rasterize(cloud.xyz[:, :2], cloud.valid, jnp.zeros(2),
+                   cfg.global_match)
+    g2 = rasterize(prior.xyz[:, :2], prior.valid, jnp.zeros(2),
+                   cfg.global_match)
+    assert jax.numpy.array_equal(g1, g2)
