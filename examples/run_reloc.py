@@ -33,6 +33,12 @@ def main():
     ap.add_argument("--kidnap", type=float, nargs=3, default=[8.0, -5.0, 1.2],
                     help="dx dy dyaw applied to the belief")
     ap.add_argument("--out", default="/tmp/reloc")
+    ap.add_argument("--save-pcd", default=None, metavar="PATH",
+                    help="export the built map as a .pcd (the reference's "
+                         "global_generate save, global_generate.cpp:238)")
+    ap.add_argument("--prior-pcd", default=None, metavar="PATH",
+                    help="relocalize against a prior .pcd map instead of "
+                         "the robot's own (loadPCDFile, global_match.cpp:258)")
     args = ap.parse_args()
 
     import dataclasses
@@ -47,6 +53,17 @@ def main():
     st, (est, true) = slam2d.rollout(st, world, cfg, args.steps)
     print(f"mapped {args.steps} steps, "
           f"ATE {float(slam2d.ate(est[10:], true[10:])):.3f} m")
+
+    if args.save_pcd:
+        from slam_tpu.utils.pcd import save_pcd
+        n = save_pcd(args.save_pcd, st.map_cloud)
+        print(f"saved {n}-point map to {args.save_pcd}")
+    if args.prior_pcd:
+        from slam_tpu.utils.pcd import load_pcd
+        prior = load_pcd(args.prior_pcd, capacity=st.map_cloud.capacity)
+        st = st.replace(map_cloud=prior)
+        print(f"relocalization target <- {args.prior_pcd} "
+              f"({int(prior.valid.sum())} points)")
 
     dx, dy, dyaw = args.kidnap
     mu = st.ekf.mu.at[0].add(dx).at[1].add(dy).at[6].add(dyaw)
