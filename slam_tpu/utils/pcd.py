@@ -12,8 +12,8 @@ This module reads/writes that format for the fixed-capacity PointCloud
 container so prior maps built by the C++ stack drop straight into the
 relocalization path (and our maps open in PCL tooling):
 
-  - ASCII and `binary` DATA encodings (PCL's two common on-disk forms;
-    `binary_compressed` is rejected loudly).
+  - ASCII, `binary`, and `binary_compressed` DATA encodings (the last is
+    PCL's LZF-compressed field-major layout, decoded by _lzf_decompress).
   - FIELDS x y z [ground_adj] [drivable] — the GD flags round-trip to
     PointCloud.FLAG_GA / FLAG_DRIVABLE. Unknown extra fields are skipped
     on load (position-independent: offsets come from the header).
@@ -32,6 +32,42 @@ from slam_tpu.types import PointCloud
 _TYPE_MAP = {("F", 4): "<f4", ("F", 8): "<f8",
              ("U", 1): "<u1", ("U", 2): "<u2", ("U", 4): "<u4",
              ("I", 1): "<i1", ("I", 2): "<i2", ("I", 4): "<i4"}
+
+
+def _lzf_decompress(src: bytes, out_len: int) -> bytes:
+    """libLZF decompression (the codec PCL's binary_compressed uses,
+    pcl/io/lzf.cpp): control byte < 32 = literal run of ctrl+1 bytes,
+    otherwise a back-reference of (ctrl >> 5) + 2 bytes (+ extension byte
+    when the 3-bit length saturates) at offset ((ctrl & 31) << 8) + next + 1
+    behind the write head; overlapping copies are byte-serial."""
+    out = bytearray(out_len)
+    i, o, n = 0, 0, len(src)
+    while i < n:
+        ctrl = src[i]
+        i += 1
+        if ctrl < 32:                        # literal run
+            run = ctrl + 1
+            out[o:o + run] = src[i:i + run]
+            i += run
+            o += run
+        else:                                # back reference
+            length = ctrl >> 5
+            if length == 7:
+                length += src[i]
+                i += 1
+            ref = o - ((ctrl & 0x1F) << 8) - src[i] - 1
+            i += 1
+            if ref < 0:
+                raise ValueError("corrupt lzf stream: reference before "
+                                 "output start")
+            for _ in range(length + 2):      # may overlap the write head
+                out[o] = out[ref]
+                o += 1
+                ref += 1
+    if o != out_len:
+        raise ValueError(f"corrupt lzf stream: produced {o} of {out_len} "
+                         "bytes")
+    return bytes(out)
 
 
 def save_pcd(path: str, cloud: PointCloud, with_flags: bool = True,
@@ -126,11 +162,21 @@ def load_pcd(path: str, capacity: int | None = None) -> PointCloud:
                 rec[name] = raw[:, i]
         elif data == "binary":
             rec = np.frombuffer(f.read(n * dtype.itemsize), dtype, count=n)
+        elif data == "binary_compressed":
+            # PCL layout (pcl/io/pcd_io.cpp): u32 compressed size, u32
+            # uncompressed size, LZF payload holding the data FIELD-MAJOR
+            # (all x values, then all y values, ...), not per-point records
+            comp_len, raw_len = np.frombuffer(f.read(8), "<u4")
+            raw = _lzf_decompress(f.read(int(comp_len)), int(raw_len))
+            rec = np.zeros(n, dtype)
+            off = 0
+            for name in dtype.names:
+                dt = dtype.fields[name][0]
+                rec[name] = np.frombuffer(raw, dt, count=n, offset=off)
+                off += n * dt.itemsize
         else:
             raise ValueError(
-                f"unsupported pcd DATA encoding '{data}' (ascii/binary "
-                f"only; re-save binary_compressed files with pcl_convert_"
-                f"pcd_ascii_binary): {path}")
+                f"unsupported pcd DATA encoding '{data}': {path}")
 
     for axis in ("x", "y", "z"):
         if axis not in (rec.dtype.names or ()):

@@ -81,13 +81,51 @@ def test_loads_pcl_style_file_with_extra_fields(tmp_path):
     assert np.all(np.isfinite(np.asarray(c.xyz)))  # NaN row zeroed
 
 
-def test_binary_compressed_rejected(tmp_path):
+def test_lzf_decompress_backreference():
+    """Hand-built LZF stream exercising the overlapping back-reference
+    path: literal 'abc' then a 6-byte copy from 3 bytes back."""
+    from slam_tpu.utils.pcd import _lzf_decompress
+    stream = bytes([0x02]) + b"abc" + bytes([0x80, 0x02])
+    assert _lzf_decompress(stream, 9) == b"abcabcabc"
+
+
+def _lzf_literal_encode(raw: bytes) -> bytes:
+    """Valid (uncompressed) LZF stream: pure literal runs of <=32 bytes —
+    what a compressor emits for incompressible input."""
+    out = bytearray()
+    for i in range(0, len(raw), 32):
+        chunk = raw[i:i + 32]
+        out.append(len(chunk) - 1)
+        out += chunk
+    return bytes(out)
+
+
+def test_binary_compressed_roundtrip(tmp_path):
+    """PCL's binary_compressed layout: u32 sizes header + LZF payload in
+    FIELD-MAJOR order (all x, then all y, ...)."""
+    rng = np.random.RandomState(3)
+    n = 11
+    x = rng.uniform(-5, 5, n).astype("<f4")
+    y = rng.uniform(-5, 5, n).astype("<f4")
+    z = rng.uniform(-1, 1, n).astype("<f4")
+    ga = (rng.rand(n) < 0.5).astype("<u2")
+    drv = (rng.rand(n) < 0.5).astype("<u2")
+    raw = x.tobytes() + y.tobytes() + z.tobytes() + ga.tobytes() + \
+        drv.tobytes()
+    comp = _lzf_literal_encode(raw)
     path = tmp_path / "bc.pcd"
-    path.write_text("VERSION 0.7\nFIELDS x y z\nSIZE 4 4 4\nTYPE F F F\n"
-                    "COUNT 1 1 1\nWIDTH 1\nHEIGHT 1\nPOINTS 1\n"
-                    "DATA binary_compressed\n")
-    with pytest.raises(ValueError, match="binary_compressed"):
-        load_pcd(str(path))
+    with open(path, "wb") as f:
+        f.write(("VERSION 0.7\nFIELDS x y z ground_adj drivable\n"
+                 "SIZE 4 4 4 2 2\nTYPE F F F U U\nCOUNT 1 1 1 1 1\n"
+                 f"WIDTH {n}\nHEIGHT 1\nPOINTS {n}\n"
+                 "DATA binary_compressed\n").encode())
+        f.write(np.array([len(comp), len(raw)], "<u4").tobytes())
+        f.write(comp)
+    c = load_pcd(str(path))
+    assert int(c.valid.sum()) == n
+    np.testing.assert_allclose(np.asarray(c.xyz),
+                               np.stack([x, y, z], -1), atol=0)
+    np.testing.assert_array_equal(np.asarray(c.is_ga()), ga != 0)
 
 
 def test_prior_map_feeds_relocalization(tmp_path):
