@@ -23,9 +23,15 @@ def main():
     ap.add_argument("--steps", type=int, default=60)
     ap.add_argument("--out", default="/tmp/slam3d")
     ap.add_argument("--metrics", action="store_true")
+    ap.add_argument("--ref-scale", action="store_true",
+                    help="run at the REFERENCE's working point: 20,480-ray "
+                         "scans, 72x200 polar grid, 20k pts/class ICP, the "
+                         "O(N) scale engines (config.ref_scale_config)")
     args = ap.parse_args()
 
-    from slam_tpu.config import sim3d_config
+    import dataclasses
+
+    from slam_tpu.config import ref_scale_config, sim3d_config
     from slam_tpu.pipeline import slam3d
     from slam_tpu.sim import world3d
     from slam_tpu.utils import metrics
@@ -34,7 +40,11 @@ def main():
     if args.metrics:
         metrics.enable()
 
-    cfg = sim3d_config()
+    if args.ref_scale:
+        cfg = ref_scale_config()
+        cfg = cfg.replace(icp=dataclasses.replace(cfg.icp, matcher="grid"))
+    else:
+        cfg = sim3d_config()
     world = world3d.make_world(jax.random.PRNGKey(42), cfg.sim)
     st = slam3d.init_state_3d(jax.random.PRNGKey(0), cfg, world)
     gm = slam3d.init_ground_map(cfg)
