@@ -23,6 +23,9 @@ def main():
     ap.add_argument("--steps", type=int, default=60)
     ap.add_argument("--out", default="/tmp/slam3d")
     ap.add_argument("--metrics", action="store_true")
+    ap.add_argument("--save-csv", default=None, metavar="PATH",
+                    help="log the estimated trajectory as the reference's "
+                         "x, y, yaw CSV (global_generate.cpp:194)")
     ap.add_argument("--ref-scale", action="store_true",
                     help="run at the REFERENCE's working point: 20,480-ray "
                          "scans, 72x200 polar grid, 20k pts/class ICP, the "
@@ -60,6 +63,11 @@ def main():
           f"xy ATE {np.sqrt(np.mean(xy_err**2)):.3f} m  |  "
           f"z err mean {z_err.mean():.3f} m  |  "
           f"icp ok {bool(st.scan_reg_ok)}")
+
+    if args.save_csv:
+        from slam_tpu.utils.trajectory import save_trajectory_csv
+        n = save_trajectory_csv(args.save_csv, est)  # x, y, yaw, z rows
+        print(f"trajectory csv ({n} rows) -> {args.save_csv}")
 
     _os.makedirs(args.out, exist_ok=True)
     render_trajectory(_os.path.join(args.out, "trajectory.png"),
