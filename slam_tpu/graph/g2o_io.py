@@ -115,15 +115,24 @@ def load_g2o(path: str, cfg) -> PoseGraph:
     edge_rel = np.zeros((E, 4), np.float32)
     edge_info = np.zeros((E, 4, 4), np.float32)
     edge_valid = np.zeros(E, bool)
-    n_nodes = n_edges = 0
+    n_seen = n_edges = 0
+    max_id = -1
 
     def vertex(idx, pose4):
-        nonlocal n_nodes
+        # num_nodes must end up as max_id + 1, not the vertex count:
+        # add_keyframe allocates its next slot AT index num_nodes
+        # (pose_graph.py slot = min(num_nodes, ...)), so a count would make
+        # the next insert overwrite an existing node when ids are 1-based
+        # or gapped (gaps just waste slots)
+        nonlocal n_seen, max_id
         if idx >= N:
             raise ValueError(f"vertex id {idx} exceeds max_nodes={N}")
+        if node_valid[idx]:
+            raise ValueError(f"duplicate vertex id {idx}: {path}")
         node_pose[idx], node_valid[idx] = pose4, True
-        node_stamp[idx] = n_nodes
-        n_nodes += 1
+        node_stamp[idx] = n_seen
+        n_seen += 1
+        max_id = max(max_id, idx)
 
     def edge(i, j, rel4, info44):
         nonlocal n_edges
@@ -178,4 +187,4 @@ def load_g2o(path: str, cfg) -> PoseGraph:
         node_stamp=jnp.asarray(node_stamp), edge_ij=jnp.asarray(edge_ij),
         edge_rel=jnp.asarray(edge_rel), edge_info=jnp.asarray(edge_info),
         edge_valid=jnp.asarray(edge_valid),
-        num_nodes=jnp.int32(n_nodes), num_edges=jnp.int32(n_edges))
+        num_nodes=jnp.int32(max_id + 1), num_edges=jnp.int32(n_edges))

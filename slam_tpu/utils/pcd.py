@@ -135,7 +135,11 @@ def load_pcd(path: str, capacity: int | None = None) -> PointCloud:
     with open(path, "rb") as f:
         hdr: dict[str, list[str]] = {}
         while True:
-            line = f.readline().decode("ascii", "replace").strip()
+            raw_line = f.readline()
+            if not raw_line:       # EOF before DATA: empty/truncated/non-pcd
+                raise ValueError(
+                    f"truncated pcd header (no DATA line): {path}")
+            line = raw_line.decode("ascii", "replace").strip()
             if not line or line.startswith("#"):
                 continue
             key, *vals = line.split()
@@ -145,35 +149,48 @@ def load_pcd(path: str, capacity: int | None = None) -> PointCloud:
         for req in ("FIELDS", "SIZE", "TYPE", "POINTS", "DATA"):
             if req not in hdr:
                 raise ValueError(f"pcd header missing {req}: {path}")
-        fields = hdr["FIELDS"]
-        counts = [int(c) for c in hdr.get("COUNT", ["1"] * len(fields))]
+        counts = [int(c) for c in
+                  hdr.get("COUNT", ["1"] * len(hdr["FIELDS"]))]
         n = int(hdr["POINTS"][0])
         data = hdr["DATA"][0].lower()
-        dtype = np.dtype([
-            (name if cnt == 1 else f"{name}{k}",
-             _TYPE_MAP[(t.upper(), int(s))])
-            for name, s, t, cnt in zip(fields, hdr["SIZE"], hdr["TYPE"],
-                                       counts)
-            for k in range(cnt)])
+        # (name, base dtype, count) per header field; PCL's '_' padding
+        # fields (common in binary PointXYZI etc.) get unique throwaway
+        # names so the record dtype stays valid
+        specs = []
+        for i, (name, s, t, cnt) in enumerate(
+                zip(hdr["FIELDS"], hdr["SIZE"], hdr["TYPE"], counts)):
+            if name == "_" or any(name == nm for nm, _, _ in specs):
+                name = f"_pad{i}"
+            specs.append((name, np.dtype(_TYPE_MAP[(t.upper(), int(s))]),
+                          cnt))
+        dtype = np.dtype([(f"{nm}{k}" if c > 1 else nm, dt)
+                          for nm, dt, c in specs for k in range(c)])
         if data == "ascii":
-            raw = np.loadtxt(f, dtype=np.float64, ndmin=2)[:n]
             rec = np.zeros(n, dtype)
-            for i, name in enumerate(dtype.names):
-                rec[name] = raw[:, i]
+            if n > 0:
+                cols = np.loadtxt(f, dtype=np.float64, ndmin=2)[:n]
+                for i, name in enumerate(dtype.names):
+                    rec[name] = cols[:, i]
         elif data == "binary":
             rec = np.frombuffer(f.read(n * dtype.itemsize), dtype, count=n)
         elif data == "binary_compressed":
             # PCL layout (pcl/io/pcd_io.cpp): u32 compressed size, u32
-            # uncompressed size, LZF payload holding the data FIELD-MAJOR
-            # (all x values, then all y values, ...), not per-point records
+            # uncompressed size, LZF payload holding the data FIELD-MAJOR —
+            # one contiguous block per header field, each block n points of
+            # `count` adjacent values (not per-point records)
             comp_len, raw_len = np.frombuffer(f.read(8), "<u4")
             raw = _lzf_decompress(f.read(int(comp_len)), int(raw_len))
             rec = np.zeros(n, dtype)
             off = 0
-            for name in dtype.names:
-                dt = dtype.fields[name][0]
-                rec[name] = np.frombuffer(raw, dt, count=n, offset=off)
-                off += n * dt.itemsize
+            for nm, dt, c in specs:
+                blk = np.frombuffer(raw, dt, count=n * c, offset=off)
+                if c == 1:
+                    rec[nm] = blk
+                else:
+                    blk = blk.reshape(n, c)
+                    for k in range(c):
+                        rec[f"{nm}{k}"] = blk[:, k]
+                off += n * c * dt.itemsize
         else:
             raise ValueError(
                 f"unsupported pcd DATA encoding '{data}': {path}")

@@ -20,9 +20,7 @@ def save_trajectory_csv(path: str, poses) -> int:
     arr = np.asarray(poses, np.float64)
     if arr.ndim != 2 or arr.shape[1] < 3:
         raise ValueError(f"expected (T, >=3) poses, got {arr.shape}")
-    with open(path, "w") as f:
-        for row in arr:
-            f.write(", ".join(f"{v:.6g}" for v in row) + "\n")
+    np.savetxt(path, arr, fmt="%.6g", delimiter=", ")
     return arr.shape[0]
 
 

@@ -92,6 +92,42 @@ def test_quaternion_yaw_roundtrip():
         assert abs(_quat_to_yaw(qx, qy, qz, qw) - yaw) < 1e-12
 
 
+def test_gapped_ids_do_not_collide_with_add_keyframe(tmp_path):
+    """External files with 1-based or gapped vertex ids: num_nodes must be
+    the high-water mark (max id + 1), because add_keyframe allocates its
+    next slot AT index num_nodes — a plain count would overwrite a node."""
+    gcfg = GraphConfig(max_nodes=16, max_edges=64, keyframe_points=64,
+                       knn_dist_thresh=2.0, opt_iterations=5)
+    icfg = IcpConfig(max_points=64, inlier_dist=4.0, min_scene_points=5,
+                     max_iterations=5)
+    path = tmp_path / "gapped.g2o"
+    path.write_text(
+        "VERTEX_SE2 1 0 0 0\n"
+        "VERTEX_SE2 3 5 0 0.1\n"
+        "EDGE_SE2 1 3 5 0 0.1 1 0 0 1 0 1\n")
+    g = load_g2o(str(path), gcfg)
+    assert int(g.num_nodes) == 4               # high-water mark, not count 2
+    assert int(np.asarray(g.node_valid).sum()) == 2
+    rng = np.random.default_rng(1)
+    pts = rng.uniform(-6, 6, size=(40, 2)).astype(np.float32)
+    p = np.array([10.0, 0, 0, 0], np.float32)
+    c, s = np.cos(p[2]), np.sin(p[2])
+    local = (pts - p[:2]) @ np.array([[c, -s], [s, c]], np.float32)
+    g2, added = pg.add_keyframe(g, jnp.array(p), _cloud(local), icfg, gcfg)
+    assert bool(added)
+    # both original nodes survive untouched
+    np.testing.assert_allclose(np.asarray(g2.node_pose)[1],
+                               np.asarray(g.node_pose)[1])
+    np.testing.assert_allclose(np.asarray(g2.node_pose)[3],
+                               np.asarray(g.node_pose)[3])
+    assert bool(np.asarray(g2.node_valid)[4])  # new node took slot 4
+
+    dup = tmp_path / "dup.g2o"
+    dup.write_text("VERTEX_SE2 2 0 0 0\nVERTEX_SE2 2 1 1 0\n")
+    with pytest.raises(ValueError, match="duplicate vertex"):
+        load_g2o(str(dup), gcfg)
+
+
 def test_capacity_overflow_raises(tmp_path):
     graph, _ = _built_graph()
     path = str(tmp_path / "g.g2o")

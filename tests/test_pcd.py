@@ -128,6 +128,69 @@ def test_binary_compressed_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(c.is_ga()), ga != 0)
 
 
+def test_truncated_header_raises(tmp_path):
+    """Empty / truncated / non-pcd input must raise, not spin at EOF."""
+    for body in ("", "VERSION 0.7\nFIELDS x y z\n", "not a pcd at all\n"):
+        path = tmp_path / "bad.pcd"
+        path.write_text(body)
+        with pytest.raises(ValueError, match="header"):
+            load_pcd(str(path))
+
+
+def test_pcl_padding_fields_binary(tmp_path):
+    """PCL pads binary point types with '_' fields (e.g. PointXYZI is
+    x y z _ intensity _); duplicate '_' names must not break the dtype."""
+    n = 4
+    rng = np.random.RandomState(1)
+    rec = np.zeros(n, dtype=[("x", "<f4"), ("y", "<f4"), ("z", "<f4"),
+                             ("p1", "V4"), ("i", "<f4"), ("p2", "V12")])
+    for k in "xyz":
+        rec[k] = rng.uniform(-3, 3, n).astype("<f4")
+    with open(tmp_path / "pad.pcd", "wb") as f:
+        f.write(("VERSION 0.7\nFIELDS x y z _ intensity _\n"
+                 "SIZE 4 4 4 1 4 1\nTYPE F F F U F U\n"
+                 "COUNT 1 1 1 4 1 12\n"
+                 f"WIDTH {n}\nHEIGHT 1\nPOINTS {n}\nDATA binary\n").encode())
+        f.write(rec.tobytes())
+    c = load_pcd(str(tmp_path / "pad.pcd"))
+    assert int(c.valid.sum()) == n
+    np.testing.assert_allclose(
+        np.asarray(c.xyz), np.stack([rec["x"], rec["y"], rec["z"]], -1))
+
+
+def test_zero_point_roundtrip(tmp_path):
+    """An all-invalid cloud saves as POINTS 0 and loads back empty."""
+    empty = PointCloud(xyz=jnp.zeros((8, 3)), valid=jnp.zeros(8, bool),
+                       flags=jnp.zeros(8, jnp.int32))
+    path = str(tmp_path / "empty.pcd")
+    assert save_pcd(path, empty) == 0
+    back = load_pcd(path, capacity=8)
+    assert back.capacity == 8 and int(back.valid.sum()) == 0
+
+
+def test_binary_compressed_multicount_field(tmp_path):
+    """COUNT>1 fields in binary_compressed are stored as n adjacent groups
+    of `count` values inside the field's block (PCL's memcpy layout), not
+    as count separate scalar channels."""
+    n = 5
+    rng = np.random.RandomState(2)
+    x = rng.uniform(-2, 2, n).astype("<f4")
+    y = rng.uniform(-2, 2, n).astype("<f4")
+    z = rng.uniform(-2, 2, n).astype("<f4")
+    nrm = rng.uniform(-1, 1, (n, 3)).astype("<f4")   # count-3 field
+    raw = x.tobytes() + y.tobytes() + z.tobytes() + nrm.tobytes()
+    comp = _lzf_literal_encode(raw)
+    with open(tmp_path / "mc.pcd", "wb") as f:
+        f.write(("VERSION 0.7\nFIELDS x y z normal\nSIZE 4 4 4 4\n"
+                 f"TYPE F F F F\nCOUNT 1 1 1 3\nWIDTH {n}\nHEIGHT 1\n"
+                 f"POINTS {n}\nDATA binary_compressed\n").encode())
+        f.write(np.array([len(comp), len(raw)], "<u4").tobytes())
+        f.write(comp)
+    c = load_pcd(str(tmp_path / "mc.pcd"))
+    # xyz land after the multi-count block is skipped correctly
+    np.testing.assert_allclose(np.asarray(c.xyz), np.stack([x, y, z], -1))
+
+
 def test_prior_map_feeds_relocalization(tmp_path):
     """The reference workflow: a prior obstacle map saved as .pcd
     (global_generate.cpp:238) is reloaded and used as the relocalization
