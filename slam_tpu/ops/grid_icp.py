@@ -50,7 +50,18 @@ def nearest_point_field(grid: PointMapGrid, resolution: float,
     correspondences within sqrt(inlier_dist) (5 m^2 ref / 1 m^2 sim), so
     cells farther than that from any source can stay invalid — a full-grid
     flood (log2(G) levels) would pay 2.3x the whole SLAM step's cost for
-    distances the inlier gate discards."""
+    distances the inlier gate discards.
+
+    `resolution` must equal the grid's own (the centroid offsets in
+    grid.sum_x/sum_y were accumulated at grid.resolution; decoding queries
+    at any other cell size would read the wrong cells)."""
+    if abs(resolution - grid.resolution) > 1e-9:
+        raise ValueError(
+            f"nearest_point_field resolution {resolution} != the map "
+            f"grid's own {grid.resolution}; the field must be built and "
+            "queried at the grid's cell size")
+    from slam_tpu.ops.stencil import neighbor_sum_2d
+
     G = grid.count.shape[0]
     occ = grid.count > 0
     cnt = jnp.maximum(grid.count, 1.0)
@@ -62,11 +73,10 @@ def nearest_point_field(grid: PointMapGrid, resolution: float,
     cx = base_x + grid.sum_x / cnt
     cy = base_y + grid.sum_y / cnt
 
-    # GA classification on the grid (classifyPoints stencil, icpTools.cpp:63)
-    empty = (~occ).astype(jnp.int32)
-    p = jnp.pad(empty, 1, constant_values=1)
-    box = (p[:-2, :-2] + p[:-2, 1:-1] + p[:-2, 2:] + p[1:-1, :-2]
-           + p[1:-1, 2:] + p[2:, :-2] + p[2:, 1:-1] + p[2:, 2:])
+    # GA classification on the grid (classifyPoints stencil, icpTools.cpp:63;
+    # same banded-matmul stencil + interior mask as the exports)
+    box = neighbor_sum_2d((~occ).astype(jnp.float32),
+                          precision=jax.lax.Precision.DEFAULT)
     ii = jnp.arange(G)
     interior = ((ii > 0) & (ii < G - 1))[:, None] & \
         ((ii > 0) & (ii < G - 1))[None, :]
@@ -74,10 +84,17 @@ def nearest_point_field(grid: PointMapGrid, resolution: float,
     cls_occ = jnp.stack([occ & ~ga, occ & ga])              # (2, G, G): NGA, GA
 
     # cell centers in world coords (JFA distance is measured from these)
-    gx = (jnp.arange(G) - G // 2 + 0.5) * resolution + grid.center[0]
-    gy = (jnp.arange(G) - G // 2 + 0.5) * resolution + grid.center[1]
-    ccx = jnp.broadcast_to(gx[:, None], (G, G))
-    ccy = jnp.broadcast_to(gy[None, :], (G, G))
+    ccx = jnp.broadcast_to(base_x, (G, G))
+    ccy = jnp.broadcast_to(base_y, (G, G))
+    idx = jnp.arange(G)
+
+    def wrap_mask(d):
+        """Rows/cols whose rolled-in source crossed the toroidal boundary."""
+        if d > 0:
+            return idx < d
+        if d < 0:
+            return idx >= G + d
+        return jnp.zeros(G, bool)
 
     def flood(occ_c):
         px = jnp.where(occ_c, cx, 0.0)
@@ -95,10 +112,13 @@ def nearest_point_field(grid: PointMapGrid, resolution: float,
                     qx = jnp.roll(px, (di, dj), (0, 1))
                     qy = jnp.roll(py, (di, dj), (0, 1))
                     qd = jnp.roll(d2, (di, dj), (0, 1))
-                    # rolled-in wrap is guarded by the candidate's own
-                    # distance-to-our-cell check below
+                    # candidates that wrapped around the grid edge are from
+                    # the far side of the map — a real centroid there would
+                    # otherwise WIN against an unreachable cell (cand < BIG)
+                    # and flag a cross-map correspondence as valid
+                    wrapped = wrap_mask(di)[:, None] | wrap_mask(dj)[None, :]
                     cand = (qx - ccx) ** 2 + (qy - ccy) ** 2
-                    cand = jnp.where(qd >= BIG, BIG, cand)
+                    cand = jnp.where(wrapped | (qd >= BIG), BIG, cand)
                     take = cand < d2
                     px = jnp.where(take, qx, px)
                     py = jnp.where(take, qy, py)

@@ -10,7 +10,9 @@ into two small matmuls per channel:
   with X = onehot(cx, H), Y = onehot(cy, W)
 
 — ~19 MFLOP/robot/channel, which the MXU does in microseconds. Masked points
-get all-zero one-hot rows. Exact in f32 (the package forces matmul precision
+get all-zero one-hot rows AND zeroed values: a masked lane may carry NaN
+coordinates (external dropouts), and 0 * NaN = NaN would otherwise poison
+every cell of the product. Exact in f32 (the package forces matmul precision
 highest; one-hot entries are exact 0/1).
 """
 
@@ -46,6 +48,7 @@ def scatter_add_2d(cx: jnp.ndarray, cy: jnp.ndarray, values: jnp.ndarray,
     inb = valid & (cx >= 0) & (cy >= 0) & (cx < H) & (cy < W)
     X = _onehot(jnp.clip(cx, 0, H - 1), H, inb)           # (N, H)
     Y = _onehot(jnp.clip(cy, 0, W - 1), W, inb)           # (N, W)
+    values = jnp.where(inb[:, None], values, 0.0)         # NaN-lane guard
     # out[i, j, c] = sum_n X[n,i] * values[n,c] * Y[n,j]
     XV = jnp.einsum("nh,nc->hcn", X, values, precision=precision)
     out = jnp.einsum("hcn,nw->hwc", XV, Y, precision=precision)
@@ -117,7 +120,11 @@ def scatter_add_2d_chunked(cx: jnp.ndarray, cy: jnp.ndarray, values: tuple,
         for k, (a, v) in enumerate(zip(accs, vals)):
             p = precision if precisions is None or precisions[k] is None \
                 else precisions[k]
-            Xv = X if v is None else X * sl(v, i * chunk, chunk)[:, None]
+            if v is None:
+                Xv = X
+            else:
+                vc2 = jnp.where(inb, sl(v, i * chunk, chunk), 0.0)
+                Xv = X * vc2[:, None]                     # NaN-lane guard
             out.append(a + jnp.einsum("nh,nw->hw", Xv, Y, precision=p))
         return tuple(out)
 
@@ -161,7 +168,7 @@ def scatter_add_2d_multi(cx: jnp.ndarray, cy: jnp.ndarray, values: tuple,
     for i, v in enumerate(values):
         p = precision if precisions is None or precisions[i] is None \
             else precisions[i]
-        Xv = X if v is None else X * v[:, None]
+        Xv = X if v is None else X * jnp.where(inb, v, 0.0)[:, None]
         outs.append(jnp.einsum("nh,nw->hw", Xv, Y, precision=p))
     return tuple(outs)
 
@@ -195,8 +202,13 @@ def gather_cells_2d(grids: jnp.ndarray, ci: jnp.ndarray, cj: jnp.ndarray,
 
 
 def scatter_max_2d(cx, cy, values, valid, shape):
-    """(H, W) max of per-point scalars (for 'touched' style flags use
-    values=1.0 and compare > 0)."""
+    """(H, W) max of per-point scalars; cells no point touches read 0.0
+    (for 'touched' style flags use values=1.0 and compare > 0)."""
     H, W = shape
-    out = scatter_add_2d(cx, cy, values[:, None], valid, shape)[..., 0]
-    return out
+    inb = valid & (cx >= 0) & (cy >= 0) & (cx < H) & (cy < W)
+    flat = jnp.where(inb, cx * W + cy, H * W)
+    neg = jnp.finfo(jnp.float32).min
+    vv = jnp.where(inb, values, neg).astype(jnp.float32)
+    acc = jnp.full((H * W + 1,), neg, jnp.float32).at[flat].max(vv)
+    out = acc[:H * W].reshape(H, W)
+    return jnp.where(out == neg, 0.0, out)

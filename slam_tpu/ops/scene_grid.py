@@ -27,7 +27,8 @@ import jax.numpy as jnp
 
 def build_scene_grid_planes(px, py, pz, valid, drv, capacity: int,
                             resolution: float, grid_bins: int,
-                            ga_threshold: int, min_count: float = 1.0):
+                            ga_threshold: int, min_count: float = 1.0,
+                            recall: float = 0.8):
     """Voxelize a robot-frame scan into scene planes via a scan-local grid.
 
     px/py: (N,) robot-frame coordinates; pz: (N,) or None (2D path);
@@ -38,6 +39,10 @@ def build_scene_grid_planes(px, py, pz, valid, drv, capacity: int,
     Grid: grid_bins^2 cells of `resolution` centered on the robot; scan
     points beyond the grid half-extent are dropped (the reference's polar
     grid similarly caps at RMAX, groundSegmentation.cpp:36).
+
+    recall: approx_max_k recall for the capacity-overflow top-K (same
+    contract as CloudConfig.export_recall / export_point_planes — >= 1
+    switches to the exact top_k).
     """
     from slam_tpu.ops.scatter2d import scatter_add_2d_multi
     from slam_tpu.ops.stencil import neighbor_sum_2d
@@ -53,11 +58,15 @@ def build_scene_grid_planes(px, py, pz, valid, drv, capacity: int,
     ox = px - (cci.astype(px.dtype) - G // 2 + 0.5) * resolution
     oy = py - (ccj.astype(py.dtype) - G // 2 + 0.5) * resolution
     chans = [None, ox, oy]
+    precs = [None, None, None]
     if pz is not None:
         chans.append(pz)
+        precs.append(jax.lax.Precision.HIGH)   # absolute z, not bf16-safe
     if drv is not None:
         chans.append(drv)
-    accs = scatter_add_2d_multi(cci, ccj, tuple(chans), inb, (G, G))
+        precs.append(None)
+    accs = scatter_add_2d_multi(cci, ccj, tuple(chans), inb, (G, G),
+                                precisions=tuple(precs))
     count = accs[0]
     sum_x, sum_y = accs[1], accs[2]
     k = 3
@@ -81,7 +90,10 @@ def build_scene_grid_planes(px, py, pz, valid, drv, capacity: int,
     # top-K occupied cells by observation count (approx_max_k: see
     # export_point_planes for the recall trade)
     score = jnp.where(occ, count, 0.0).reshape(-1)
-    v, idx = jax.lax.approx_max_k(score, capacity, recall_target=0.8)
+    if recall >= 1.0:
+        v, idx = jax.lax.top_k(score, capacity)
+    else:
+        v, idx = jax.lax.approx_max_k(score, capacity, recall_target=recall)
     sel = v >= min_count
     si = idx // G
     sj = idx % G
@@ -91,7 +103,10 @@ def build_scene_grid_planes(px, py, pz, valid, drv, capacity: int,
         chan_list.append(sum_z)
     if sum_drv is not None:
         chan_list.append(sum_drv)
-    out = gather_cells_2d(jnp.stack(chan_list, axis=-1), si, sj)
+    # HIGH: the gathered grid values include absolute-z sums and counts that
+    # exceed bf16's exact-integer range — the one-hot side stays exact 0/1
+    out = gather_cells_2d(jnp.stack(chan_list, axis=-1), si, sj,
+                          precision=jax.lax.Precision.HIGH)
     cnt = jnp.maximum(out[:, 0], 1.0)
     ctr_x = (si - G // 2 + 0.5) * resolution
     ctr_y = (sj - G // 2 + 0.5) * resolution

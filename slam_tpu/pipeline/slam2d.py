@@ -46,7 +46,7 @@ def init_state(key: jnp.ndarray, cfg: SlamConfig,
         graph = init_graph(cfg.graph)
     else:
         from slam_tpu.mapping.point_map import init_point_map
-        map_grid = init_point_map(cfg.mls.size_x)
+        map_grid = init_point_map(cfg.mls.size_x, cfg.icp.voxel_leaf_obs[0])
     # gyro-bias calibration: average stationary samples before driving
     # (initialize_ekf, nasa_ekf.cpp:292-335 — 'DO NOT MOVE ROBOT')
     key, k_cal = jax.random.split(key)
@@ -100,7 +100,7 @@ def build_scene_planes(px: jnp.ndarray, py: jnp.ndarray, hit: jnp.ndarray,
         sx, sy, _, ga, _, keep = build_scene_grid_planes(
             px, py, None, hit, None, cfg.cloud.scene_capacity,
             cfg.icp.ga_resolution, cfg.icp.scan_grid_bins,
-            cfg.icp.ga_threshold)
+            cfg.icp.ga_threshold, recall=cfg.cloud.export_recall)
         return sx, sy, ga, keep
 
     res = cfg.icp.ga_resolution

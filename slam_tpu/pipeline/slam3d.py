@@ -50,7 +50,7 @@ def init_state_3d(key, cfg: SlamConfig, world: World3D,
     estimated, not the absolute start)."""
     s = init_state(key, cfg, with_graph=with_graph)
     if s.map_grid is None:
-        s = s.replace(map_grid=init_point_map(cfg.mls.size_x))
+        s = s.replace(map_grid=init_point_map(cfg.mls.size_x, cfg.icp.voxel_leaf_obs[0]))
     z0 = world3d.terrain_height(world, jnp.zeros(2)) + cfg.sim.sensor_height
     return s.replace(pose=s.pose.at[3].set(z0),
                      true_pose=s.true_pose.at[3].set(z0))
@@ -62,7 +62,7 @@ def init_ground_map(cfg: SlamConfig) -> GroundMap:
     # map_capacity dead slots riding every donated scan carry (~640 KB/robot
     # at reference scale)
     cap = 8 if cfg.height.source == "grid" else cfg.cloud.map_capacity
-    return GroundMap(grid=init_point_map(cfg.mls.size_x),
+    return GroundMap(grid=init_point_map(cfg.mls.size_x, cfg.icp.voxel_leaf_obs[0]),
                      cloud=make_cloud(cap))
 
 
@@ -101,7 +101,7 @@ def build_scene_3d_planes(scan_xyz, hit, cfg: SlamConfig):
         ox, oy, oz, oga, odrv_b, okeep = build_scene_grid_planes(
             x, y, z, obstacle, drv, cfg.cloud.scene_capacity,
             cfg.icp.ga_resolution, cfg.icp.scan_grid_bins,
-            cfg.icp.ga_threshold)
+            cfg.icp.ga_threshold, recall=cfg.cloud.export_recall)
         return (ox, oy, oz, oga, odrv_b, okeep), (x, y, z, ground)
 
     (ox, oy, oz, odrv), ovalid = compact_planes(
@@ -350,7 +350,7 @@ def rollout_3d(state: SlamState, world: World3D, ground_map, cfg: SlamConfig,
     """num_steps ticks (rounded up to field_every multiples): map targets
     refresh and rolling maps re-center once per macro."""
     if isinstance(ground_map, PointCloud):  # legacy call shape
-        ground_map = GroundMap(grid=init_point_map(cfg.mls.size_x),
+        ground_map = GroundMap(grid=init_point_map(cfg.mls.size_x, cfg.icp.voxel_leaf_obs[0]),
                                cloud=ground_map)
     num_macro = -(-num_steps // field_every)
 
@@ -414,10 +414,10 @@ def rollout_3d_with_graph(state: SlamState, world: World3D,
     from slam_tpu.pipeline.slam2d import graph_update
 
     if isinstance(ground_map, PointCloud):
-        ground_map = GroundMap(grid=init_point_map(cfg.mls.size_x),
+        ground_map = GroundMap(grid=init_point_map(cfg.mls.size_x, cfg.icp.voxel_leaf_obs[0]),
                                cloud=ground_map)
     if state.map_grid is None:
-        state = state.replace(map_grid=init_point_map(cfg.mls.size_x))
+        state = state.replace(map_grid=init_point_map(cfg.mls.size_x, cfg.icp.voxel_leaf_obs[0]))
 
     def macro(carry, _):
         s, gm = carry

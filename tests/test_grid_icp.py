@@ -110,3 +110,66 @@ def test_while_loop_early_exit_bit_identical():
         _, (est, _) = slam2d.rollout(st, world, cfg, 40)
         outs[loop] = est
     assert jnp.array_equal(outs["scan"], outs["while"])
+
+
+def test_flood_does_not_wrap_across_grid_edges():
+    """A centroid near the +x edge must not become a 'valid' nearest match
+    for cells near the -x edge via jnp.roll wrap-around: unreachable cells
+    stay invalid (their consumers' inlier gates aside, NearestField.valid
+    documents real reachability)."""
+    G = 64
+    res = 0.5
+    g = init_point_map(G, res)
+    # one point in the last interior column (+x edge), y centered
+    edge_x = (G - 2 - G // 2 + 0.5) * res
+    xyz = jnp.array([[edge_x, 0.0, 0.0]])
+    g = update_point_map(g, xyz, jnp.ones(1, bool), res)
+    field = nearest_point_field(g, res)
+    valid = np.asarray(field.valid)  # (2, G, G)
+    # cells in the FIRST columns (-x edge) are > flood reach away in-grid;
+    # with wrap they'd be 2 cells away and come out valid
+    assert not valid[:, :3, :].any()
+    # the neighborhood of the source itself is valid in its class
+    assert valid[:, G - 8:G - 1, G // 2 - 2:G // 2 + 2].any()
+
+
+def test_scatter_nan_in_masked_lanes_is_harmless():
+    """Masked-out lanes may carry NaN coordinates/values (external dropouts
+    encode as NaN); every scatter engine must produce NaN-free grids."""
+    from slam_tpu.ops.scatter2d import scatter_add_2d, scatter_add_2d_multi
+
+    n = 64
+    rng = np.random.default_rng(1)
+    cx = jnp.asarray(rng.integers(0, 16, n))
+    cy = jnp.asarray(rng.integers(0, 16, n))
+    v = jnp.asarray(rng.normal(size=n).astype(np.float32))
+    v = v.at[3].set(jnp.nan)
+    valid = jnp.ones(n, bool).at[3].set(False)
+    for impl in ("onehot", "native", "chunked"):
+        outs = scatter_add_2d_multi(cx, cy, (None, v), valid, (16, 16),
+                                    impl=impl)
+        for o in outs:
+            assert np.isfinite(np.asarray(o)).all(), impl
+    out = scatter_add_2d(cx, cy, v[:, None], valid, (16, 16))
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_scatter_max_is_a_real_max():
+    from slam_tpu.ops.scatter2d import scatter_max_2d
+
+    cx = jnp.array([1, 1, 2, 5])
+    cy = jnp.array([1, 1, 3, 5])
+    v = jnp.array([3.0, 5.0, -2.0, 7.0])
+    valid = jnp.array([True, True, True, False])
+    out = np.asarray(scatter_max_2d(cx, cy, v, valid, (8, 8)))
+    assert out[1, 1] == 5.0          # max, not 8.0 (the old sum)
+    assert out[2, 3] == -2.0         # negative values survive
+    assert out[5, 5] == 0.0          # masked lane leaves the cell untouched
+    assert out[0, 0] == 0.0          # untouched cells read 0
+
+
+def test_field_resolution_mismatch_raises():
+    g = init_point_map(32, 0.5)
+    import pytest
+    with pytest.raises(ValueError, match="resolution"):
+        nearest_point_field(g, 0.25)
