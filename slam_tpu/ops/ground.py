@@ -87,11 +87,15 @@ def segment_ground(cloud: PointCloud, cfg: GroundSegConfig) -> GroundSegResult:
     #     point HDL-32E scan x the 72x200 polar grid would make the
     #     incidence 295M elements).
     imax = jnp.iinfo(jnp.int32).max
-    # z quantized to mm so tie handling matches the reference's first-hit
-    # semantics exactly. Ok points have |z| <= r3 < r_max << 524 m, so mm
-    # quantization fits in 20 bits. Clip ceiling 2**20 - 2 (not -1): a
-    # maximal zq at the largest packable idx_bits would make key == imax,
-    # colliding with the invalid sentinel.
+    # z quantized to mm: exact ties resolve by first scan index like the
+    # reference's strict < sweep. DOCUMENTED TOLERANCE: two points whose z
+    # differ by < 1 mm quantize equal, so the earlier-index point wins even
+    # if it is the (sub-mm) higher one — the reference would pick the
+    # strictly lower. The prototype feeds the GP at its own (z, range), so
+    # the model perturbation is bounded by the 1 mm quantization. Ok points
+    # have |z| <= r3 < r_max << 524 m, so mm quantization fits in 20 bits.
+    # Clip ceiling 2**20 - 2 (not -1): a maximal zq at the largest packable
+    # idx_bits would make key == imax, colliding with the invalid sentinel.
     zq = jnp.clip(jnp.round((z + 500.0) * 1000.0), 0,
                   2**20 - 2).astype(jnp.int32)
     idx_bits = max(1, (N - 1).bit_length())
@@ -135,8 +139,9 @@ def segment_ground(cloud: PointCloud, cfg: GroundSegConfig) -> GroundSegResult:
         # ~5 memory-bound passes (~23 ms of the 50 ms ref-scale call).
         # One stable 2-key sort by (bin, zq) replaces the whole chain: the
         # first row of each bin segment IS the prototype (mm-quantized min
-        # z, original-index tiebreak via stability — semantics identical),
-        # and everything downstream is boundary-masked scatter-adds.
+        # z, original-index tiebreak via stability — same 1 mm tolerance as
+        # the packed-key path above), and everything downstream is
+        # boundary-masked scatter-adds.
         K = S * L
         zq_ok = jnp.where(ok, zq, imax)
         sf, _, sr, sz = jax.lax.sort((flat, zq_ok, r2, z), num_keys=2,
@@ -187,10 +192,10 @@ def segment_ground(cloud: PointCloud, cfg: GroundSegConfig) -> GroundSegResult:
             cfg.gp_noise * mf[:, None, :] * eyeC + \
             (1.0 - mf)[:, None, :] * eyeC
         B = Kall * mf[:, None, :]                                 # cols masked
-        L = cholesky_unrolled(M)
+        Lchol = cholesky_unrolled(M)
         rhs = jnp.concatenate([(sl_h * mf)[:, :, None],
                                jnp.swapaxes(B, 1, 2)], axis=2)    # (S, C, 1+C)
-        Y = forward_substitute(L, rhs)
+        Y = forward_substitute(Lchol, rhs)
         w, Yb = Y[..., 0], Y[..., 1:]                             # L^-1 h, L^-1 B^T
         # f_s = B M^-1 h = Yb^T w;  v = sf - diag(B M^-1 B^T) = sf - sum Yb^2
         f_s = jnp.einsum("sjc,sj->sc", Yb, w)

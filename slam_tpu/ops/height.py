@@ -20,7 +20,6 @@ import jax.numpy as jnp
 
 from slam_tpu.config import HeightConfig
 from slam_tpu.geometry import rot2
-from slam_tpu.ops.nn import nearest_neighbor
 from slam_tpu.types import PointCloud
 
 
@@ -150,28 +149,10 @@ def height_interpolate(ground: PointCloud, pose_xyyawz: jnp.ndarray,
 
     pose_xyyawz: (4,) x, y, yaw, z. Keeps the old z when fewer than
     min_corr_points wheel points find ground within sqrt(max_nn_dist_sq)
-    (icpTools.cpp:357,394-396 'Height could not be determined')."""
-    x, y, yaw, z0 = pose_xyyawz
-    wheels_local = jnp.array([
-        [-cfg.x_wheel_dist, -cfg.y_wheel_dist],
-        [-cfg.x_wheel_dist, cfg.y_wheel_dist],
-        [cfg.x_wheel_dist, -cfg.y_wheel_dist],
-        [cfg.x_wheel_dist, cfg.y_wheel_dist],
-    ])
-    R = rot2(yaw)
-    wxy = wheels_local @ R.T + jnp.stack([x, y])
-    wz = jnp.full((4,), z0 - cfg.robot_height)
-    wheels = jnp.concatenate([wxy, wz[:, None]], axis=-1)      # (4, 3)
+    (icpTools.cpp:357,394-396 'Height could not be determined').
 
-    idx, d2 = nearest_neighbor(wheels, ground.xyz, ground.valid)
-    ok = d2 < cfg.max_nn_dist_sq
-    corr = ground.xyz[idx]                                      # (4, 3)
-    w = ok.astype(corr.dtype)
-    n_ok = jnp.sum(ok)
-
-    avg = jnp.sum(w[:, None] * corr, axis=0) / jnp.maximum(jnp.sum(w), 1e-9)
-    n = _plane_normal(corr, w)
-    n = jnp.where(n[2] < 0, -n, n)                              # :378-381
-    new_z = n[2] * cfg.robot_height + avg[2]                    # :385
-    good = (n_ok >= cfg.min_corr_points) & jnp.all(jnp.isfinite(n))
-    return jnp.where(good, new_z, z0)
+    Thin view over height_interpolate_planes (same NN first-match ties,
+    gates, plane fit) — one implementation, two container shapes."""
+    return height_interpolate_planes(ground.xyz[:, 0], ground.xyz[:, 1],
+                                     ground.xyz[:, 2], ground.valid,
+                                     pose_xyyawz, cfg)

@@ -155,8 +155,11 @@ def icp_fit(scene_xyz, scene_valid, scene_ga, model_xyz, model_valid, model_ga,
         (pose, _, num_corr, mean_res, delta), _ = jax.lax.scan(
             body, init, None, length=cfg.max_iterations)
     pose = jnp.where(ok, pose, init_pose)
-    return IcpResult(pose=pose, ok=ok, num_corr=num_corr, delta=delta,
-                     mean_residual=mean_res)
+    # num_corr == 0 (e.g. participation all-off: every scene class has <= 3
+    # model points) is a FAILED registration — same contract as the fused
+    # kernels and the grid matcher, so EKF gating can't diverge by backend
+    return IcpResult(pose=pose, ok=ok & (num_corr > 0), num_corr=num_corr,
+                     delta=delta, mean_residual=mean_res)
 
 
 def edge_information_2d(t_pts, m_pts, w):

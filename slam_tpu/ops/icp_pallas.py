@@ -185,6 +185,44 @@ def _icp_core(max_iter: int, inlier_dist: float, min_delta: float,
     ])[None, None, :]
 
 
+# scalar blocks must be 3D: only the last two block dims are constrained
+# (divisible by (8,128) or equal to the array dims)
+def _scalar_spec(n, space):
+    return pl.BlockSpec((1, 1, n), lambda b: (b, 0, 0), memory_space=space)
+
+
+def _pack_init4(init):
+    """(B, 3) [x, y, yaw] -> (B, 1, 4) [x, y, cos, sin] SMEM operand."""
+    return jnp.stack([init[:, 0], init[:, 1],
+                      jnp.cos(init[:, 2]), jnp.sin(init[:, 2])],
+                     axis=-1)[:, None, :]
+
+
+def _run_icp_kernel(kern, in_specs, operands, B, vmem_mb=64) -> IcpResult:
+    """Shared pallas_call plumbing for every fused-ICP wrapper: the (B, 1, 8)
+    output slab decodes as [tx, ty, cos, sin, ok, num_corr, mean_res, delta]
+    (_icp_core's out_ref layout)."""
+    out = pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=_scalar_spec(8, pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 1, 8), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_mb << 20),
+    )(*operands)
+    out = out[:, 0]
+    pose = jnp.stack([out[:, 0], out[:, 1],
+                      jnp.arctan2(out[:, 3], out[:, 2])], axis=-1)
+    return IcpResult(
+        pose=pose,
+        ok=(out[:, 4] > 0.5) & (out[:, 5] > 0),
+        num_corr=out[:, 5].astype(jnp.int32),
+        delta=out[:, 7],
+        mean_residual=out[:, 6],
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _icp_batched(s3, m3, init, cfg: IcpConfig):
     """s3: (B, S, 3), m3: (B, C, 3) = [x, y, class]; init (B, 3) [x, y, yaw]."""
@@ -199,35 +237,9 @@ def _icp_batched(s3, m3, init, cfg: IcpConfig):
                           memory_space=pltpu.VMEM)
     m_spec = pl.BlockSpec((1, C, 3), lambda b: (b, 0, 0),
                           memory_space=pltpu.VMEM)
-    # scalar blocks must be 3D: only the last two block dims are constrained
-    # (divisible by (8,128) or equal to the array dims)
-    i_spec = pl.BlockSpec((1, 1, 4), lambda b: (b, 0, 0),
-                          memory_space=pltpu.SMEM)
-    o_spec = pl.BlockSpec((1, 1, 8), lambda b: (b, 0, 0),
-                          memory_space=pltpu.VMEM)
-
-    init4 = jnp.stack([init[:, 0], init[:, 1],
-                       jnp.cos(init[:, 2]), jnp.sin(init[:, 2])], axis=-1)
-
-    out = pl.pallas_call(
-        kern,
-        grid=(B,),
-        in_specs=[q_spec, m_spec, i_spec],
-        out_specs=o_spec,
-        out_shape=jax.ShapeDtypeStruct((B, 1, 8), jnp.float32),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
-    )(s3, m3, init4[:, None, :])
-
-    out = out[:, 0]
-    pose = jnp.stack([out[:, 0], out[:, 1],
-                      jnp.arctan2(out[:, 3], out[:, 2])], axis=-1)
-    return IcpResult(
-        pose=pose,
-        ok=(out[:, 4] > 0.5) & (out[:, 5] > 0),
-        num_corr=out[:, 5].astype(jnp.int32),
-        delta=out[:, 7],
-        mean_residual=out[:, 6],
-    )
+    return _run_icp_kernel(
+        kern, [q_spec, m_spec, _scalar_spec(4, pltpu.SMEM)],
+        (s3, m3, _pack_init4(init)), B)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -246,37 +258,14 @@ def _icp_batched_planes(sx, sy, sc, mx, my, mc, init, cfg: IcpConfig):
     # the (8, 128)-divisibility rule, but a leading block dim of 1 that equals
     # the array dim is allowed (the reshape is layout-free)
     def row(n):
-        return pl.BlockSpec((1, 1, n), lambda b: (b, 0, 0),
-                            memory_space=pltpu.VMEM)
+        return _scalar_spec(n, pltpu.VMEM)
 
-    i_spec = pl.BlockSpec((1, 1, 4), lambda b: (b, 0, 0),
-                          memory_space=pltpu.SMEM)
-    o_spec = pl.BlockSpec((1, 1, 8), lambda b: (b, 0, 0),
-                          memory_space=pltpu.VMEM)
-
-    init4 = jnp.stack([init[:, 0], init[:, 1],
-                       jnp.cos(init[:, 2]), jnp.sin(init[:, 2])], axis=-1)
-
-    out = pl.pallas_call(
+    return _run_icp_kernel(
         kern,
-        grid=(B,),
-        in_specs=[row(S), row(S), row(S), row(C), row(C), row(C), i_spec],
-        out_specs=o_spec,
-        out_shape=jax.ShapeDtypeStruct((B, 1, 8), jnp.float32),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
-    )(sx[:, None], sy[:, None], sc[:, None],
-      mx[:, None], my[:, None], mc[:, None], init4[:, None, :])
-
-    out = out[:, 0]
-    pose = jnp.stack([out[:, 0], out[:, 1],
-                      jnp.arctan2(out[:, 3], out[:, 2])], axis=-1)
-    return IcpResult(
-        pose=pose,
-        ok=(out[:, 4] > 0.5) & (out[:, 5] > 0),
-        num_corr=out[:, 5].astype(jnp.int32),
-        delta=out[:, 7],
-        mean_residual=out[:, 6],
-    )
+        [row(S), row(S), row(S), row(C), row(C), row(C),
+         _scalar_spec(4, pltpu.SMEM)],
+        (sx[:, None], sy[:, None], sc[:, None],
+         mx[:, None], my[:, None], mc[:, None], _pack_init4(init)), B)
 
 
 def _icp_kernel_tiled(max_iter: int, inlier_dist: float, min_delta: float,
@@ -444,14 +433,27 @@ def _pad_plane(p, mult, fill):
     return jnp.pad(p, pad, constant_values=fill)
 
 
+def _fit_block(n: int, blk_cap: int, mult: int) -> int:
+    """Block size <= blk_cap (a `mult` multiple) minimizing pad waste: keep
+    the block COUNT the cap implies, shrink the block to just cover n.
+    n=2100, cap 2048 -> 2 blocks of 1152 (pad 204) instead of 2 of 2048
+    (pad 1996) — up to ~2x of the distance-tile work was padding for sizes
+    just above a block multiple."""
+    n = max(n, mult)
+    nb = -(-n // blk_cap)
+    return min(blk_cap, -(-(-(-n // nb)) // mult) * mult)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "s_blk", "c_blk"))
 def _icp_batched_planes_tiled(sx, sy, sc, mx, my, mc, init, cfg: IcpConfig,
                               s_blk: int = 256, c_blk: int = 2048):
     """Tiled plane-operand batched call (large S x C). Pads S/C up to block
     multiples: scene pads ride as class -1 (non-participating), model pads
-    as class 2 (invalid -> BIG penalty)."""
-    c_blk = min(c_blk, max(128, mx.shape[-1]))
-    s_blk = min(s_blk, max(8, sx.shape[-1]))
+    as class 2 (invalid -> BIG penalty). s_blk/c_blk are CAPS — the actual
+    block sizes shrink to fit the operands with minimal padding
+    (_fit_block)."""
+    c_blk = _fit_block(mx.shape[-1], c_blk, 128)
+    s_blk = _fit_block(sx.shape[-1], s_blk, 8)
     sx = _pad_plane(sx, s_blk, 0.0)
     sy = _pad_plane(sy, s_blk, 0.0)
     sc = _pad_plane(sc, s_blk, -1.0)
@@ -466,37 +468,15 @@ def _icp_batched_planes_tiled(sx, sy, sc, mx, my, mc, init, cfg: IcpConfig,
         cfg.min_delta, cfg.min_scene_points, s_blk, c_blk)
 
     def row(n):
-        return pl.BlockSpec((1, 1, n), lambda b: (b, 0, 0),
-                            memory_space=pltpu.VMEM)
+        return _scalar_spec(n, pltpu.VMEM)
 
-    i_spec = pl.BlockSpec((1, 1, 4), lambda b: (b, 0, 0),
-                          memory_space=pltpu.SMEM)
-    o_spec = pl.BlockSpec((1, 1, 8), lambda b: (b, 0, 0),
-                          memory_space=pltpu.VMEM)
-
-    init4 = jnp.stack([init[:, 0], init[:, 1],
-                       jnp.cos(init[:, 2]), jnp.sin(init[:, 2])], axis=-1)
-
-    out = pl.pallas_call(
+    return _run_icp_kernel(
         kern,
-        grid=(B,),
-        in_specs=[row(S), row(S), row(S), row(C), row(C), row(C), i_spec],
-        out_specs=o_spec,
-        out_shape=jax.ShapeDtypeStruct((B, 1, 8), jnp.float32),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
-    )(sx[:, None], sy[:, None], sc[:, None],
-      mx[:, None], my[:, None], mc[:, None], init4[:, None, :])
-
-    out = out[:, 0]
-    pose = jnp.stack([out[:, 0], out[:, 1],
-                      jnp.arctan2(out[:, 3], out[:, 2])], axis=-1)
-    return IcpResult(
-        pose=pose,
-        ok=(out[:, 4] > 0.5) & (out[:, 5] > 0),
-        num_corr=out[:, 5].astype(jnp.int32),
-        delta=out[:, 7],
-        mean_residual=out[:, 6],
-    )
+        [row(S), row(S), row(S), row(C), row(C), row(C),
+         _scalar_spec(4, pltpu.SMEM)],
+        (sx[:, None], sy[:, None], sc[:, None],
+         mx[:, None], my[:, None], mc[:, None], _pack_init4(init)), B,
+        vmem_mb=100)
 
 
 # resident-kernel ceiling: an (S, C) block plus temps must fit VMEM; beyond
@@ -505,32 +485,37 @@ def _icp_batched_planes_tiled(sx, sy, sc, mx, my, mc, init, cfg: IcpConfig,
 RESIDENT_TILE_LIMIT = 2 << 20
 
 
-@functools.lru_cache(maxsize=None)
-def make_icp_fused_planes_tiled(cfg: IcpConfig, s_blk: int = 256,
-                                c_blk: int = 2048):
-    """Tiled fused ICP (plane operands), custom_vmap'd like
-    make_icp_fused_planes; use when S*C > RESIDENT_TILE_LIMIT."""
+def _custom_vmap_planes(batched):
+    """Wrap a (B, ...)-batched plane-operand ICP into a single-problem
+    callable whose jax.vmap maps straight onto the kernel's batch grid
+    (broadcasting unbatched operands)."""
 
     @jax.custom_batching.custom_vmap
-    def icp_fused_tiled(sx, sy, sc, mx, my, mc, init_pose):
-        r = _icp_batched_planes_tiled(
-            sx[None], sy[None], sc[None], mx[None], my[None], mc[None],
-            init_pose[None], cfg, s_blk, c_blk)
+    def icp_fused(sx, sy, sc, mx, my, mc, init_pose):
+        r = batched(sx[None], sy[None], sc[None], mx[None], my[None],
+                    mc[None], init_pose[None])
         return jax.tree.map(lambda x: x[0], r)
 
-    @icp_fused_tiled.def_vmap
+    @icp_fused.def_vmap
     def _rule(axis_size, in_batched, *args):
         def bcast(x, b):
             return x if b else jnp.broadcast_to(x[None],
                                                 (axis_size,) + x.shape)
 
-        sx, sy, sc, mx, my, mc, init_pose = (
-            bcast(a, b) for a, b in zip(args, in_batched))
-        r = _icp_batched_planes_tiled(sx, sy, sc, mx, my, mc, init_pose,
-                                      cfg, s_blk, c_blk)
+        ops = (bcast(a, b) for a, b in zip(args, in_batched))
+        r = batched(*ops)
         return r, jax.tree.map(lambda _: True, r)
 
-    return icp_fused_tiled
+    return icp_fused
+
+
+@functools.lru_cache(maxsize=None)
+def make_icp_fused_planes_tiled(cfg: IcpConfig, s_blk: int = 256,
+                                c_blk: int = 2048):
+    """Tiled fused ICP (plane operands), custom_vmap'd like
+    make_icp_fused_planes; use when S*C > RESIDENT_TILE_LIMIT."""
+    return _custom_vmap_planes(
+        lambda *a: _icp_batched_planes_tiled(*a, cfg, s_blk, c_blk))
 
 
 def encode_scene_class(valid, ga):
@@ -548,25 +533,8 @@ def make_icp_fused_planes(cfg: IcpConfig):
     """Plane-operand fused ICP: (sx, sy, s_class, mx, my, m_class, init) with
     classes from encode_{scene,model}_class. custom_vmap'd like
     make_icp_fused so jax.vmap maps onto the kernel's batch grid."""
-
-    @jax.custom_batching.custom_vmap
-    def icp_fused_planes(sx, sy, sc, mx, my, mc, init_pose):
-        r = _icp_batched_planes(sx[None], sy[None], sc[None], mx[None],
-                                my[None], mc[None], init_pose[None], cfg)
-        return jax.tree.map(lambda x: x[0], r)
-
-    @icp_fused_planes.def_vmap
-    def _rule(axis_size, in_batched, *args):
-        def bcast(x, b):
-            return x if b else jnp.broadcast_to(x[None],
-                                                (axis_size,) + x.shape)
-
-        sx, sy, sc, mx, my, mc, init_pose = (
-            bcast(a, b) for a, b in zip(args, in_batched))
-        r = _icp_batched_planes(sx, sy, sc, mx, my, mc, init_pose, cfg)
-        return r, jax.tree.map(lambda _: True, r)
-
-    return icp_fused_planes
+    return _custom_vmap_planes(
+        lambda *a: _icp_batched_planes(*a, cfg))
 
 
 def fused_register(sx, sy, s_valid, s_ga, target_planes, map_cloud, pred,

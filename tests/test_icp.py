@@ -150,3 +150,24 @@ def test_icp_fit_while_loop_bit_identical():
         outs[loop] = (r.pose, r.num_corr, r.delta, r.mean_residual)
     for a, b in zip(outs["scan"], outs["while"]):
         assert jnp.array_equal(a, b)
+
+
+def test_ok_false_when_no_class_participates():
+    """Size gates pass but every scene class has <= 3 model points -> zero
+    correspondences ever. ok must be False (failed registration) so the EKF
+    skips the update — same contract as the fused kernels and the grid
+    matcher (which AND num_corr > 0)."""
+    import dataclasses
+    from slam_tpu.config import IcpConfig
+    cfg = IcpConfig(max_points=64, min_scene_points=5, max_iterations=5)
+    rng = np.random.RandomState(0)
+    # scene: 6 GA points; model: 20 NGA + only 2 GA (participation off)
+    sxy = jnp.asarray(rng.uniform(-3, 3, (6, 2)).astype(np.float32))
+    s_ga = jnp.ones(6, bool)
+    mxy = jnp.asarray(rng.uniform(-3, 3, (22, 2)).astype(np.float32))
+    m_ga = jnp.arange(22) < 2
+    for loop in ("scan", "while"):
+        r = icp_fit(sxy, jnp.ones(6, bool), s_ga, mxy, jnp.ones(22, bool),
+                    m_ga, jnp.zeros(3), dataclasses.replace(cfg, loop=loop))
+        assert int(r.num_corr) == 0
+        assert not bool(r.ok), loop
