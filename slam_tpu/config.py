@@ -145,11 +145,17 @@ class GraphConfig:
     """Pose-graph SLAM (graphSlamTools.h:26-36, graph_slam.cpp)."""
 
     max_nodes: int = 64                  # fixed capacity (reference: unbounded)
-    max_edges: int = 256
+    # worst case is max_nodes * (knn_edges + 1 previous) = 256 plus
+    # relocalization loop closures on top — headroom so accepted edges are
+    # never dropped (PoseGraph.edges_dropped counts any that still are)
+    max_edges: int = 320
     keyframe_points: int = 1024          # stored keyframe cloud capacity (voxelized)
     knn_dist_thresh: float = 5.0         # graphSlamTools.h:26 new-KF gate [m]
     knn_edges: int = 3                   # graphSlamTools.h:27 GSLAM_KNN
-    min_keyframe_points: int = 20000     # graph_slam.cpp:498 cloud size gate
+    # graph_slam.cpp:498 cloud size gate. Reference value: 20000 (HDL-32E
+    # scans); default open like cloud.min_scan_points because sim scans are
+    # ~512 points — ref_scale_config sets the reference's 20k.
+    min_keyframe_points: int = 0
     opt_iterations: int = 10             # graph_slam.cpp:332 LM iterations
     edge_icp_voxel: float = 0.5          # graphSlamTools.cpp:282 leaf size
     edge_max_corr: float = 0.75          # graphSlamTools.cpp:302 LUM max corr dist
@@ -339,6 +345,7 @@ def ref_scale_config() -> SlamConfig:
         height=dataclasses.replace(c.height, source="grid"),
         icp=dataclasses.replace(c.icp, inlier_dist=5.0, max_points=20000,
                                 ga_num_bins=384),
+        graph=dataclasses.replace(c.graph, min_keyframe_points=20000),
         cloud=dataclasses.replace(c.cloud, scan_capacity=20480,
                                   scene_capacity=4096,
                                   ground_capacity=20480,

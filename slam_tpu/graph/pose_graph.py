@@ -49,6 +49,7 @@ def init_graph(cfg: GraphConfig, dtype=jnp.float32) -> PoseGraph:
         edge_valid=jnp.zeros((E,), bool),
         num_nodes=jnp.int32(0),
         num_edges=jnp.int32(0),
+        edges_dropped=jnp.int32(0),
     )
 
 
@@ -243,6 +244,10 @@ def add_keyframe(graph: PoseGraph, pose: jnp.ndarray, cloud: PointCloud,
             e = jnp.argmin(g.edge_valid).astype(jnp.int32)
             room = ~g.edge_valid[e]
             do = ok_c & icp_ok & room
+            # an ACCEPTED measurement that found no slot is counted, never
+            # silently lost (the keyframe would otherwise float edge-less
+            # on the regularizer with no signal that max_edges is too small)
+            dropped = ok_c & icp_ok & ~room
             new_valid = g.edge_valid.at[e].set(
                 jnp.where(do, True, g.edge_valid[e]))
             g = g.replace(
@@ -253,6 +258,7 @@ def add_keyframe(graph: PoseGraph, pose: jnp.ndarray, cloud: PointCloud,
                     jnp.where(do, info, g.edge_info[e])),
                 edge_valid=new_valid,
                 num_edges=jnp.sum(new_valid).astype(g.num_edges.dtype),
+                edges_dropped=g.edges_dropped + dropped.astype(jnp.int32),
             )
             return g, None
 
@@ -371,8 +377,11 @@ def optimize(graph: PoseGraph, cfg: GraphConfig) -> tuple[PoseGraph, jnp.ndarray
         Hz = Hz.at[j_idx, j_idx].add(wz)
         Hz = Hz.at[i_idx, j_idx].add(-wz)
         Hz = Hz.at[j_idx, i_idx].add(-wz)
-        bz = bz.at[i_idx].add(wz * ez)
-        bz = bz.at[j_idx].add(-wz * ez)
+        # b = J^T W e with de/dz_i = -1, de/dz_j = +1 (the signs were
+        # flipped here once, which drove z AWAY from the measurements:
+        # a +1 m edge moved the target node to -1 m)
+        bz = bz.at[i_idx].add(-wz * ez)
+        bz = bz.at[j_idx].add(wz * ez)
         diag = jnp.full((N,), cfg.lm_lambda, zs.dtype).at[0].set(1e8)
         diag = diag + (~graph.node_valid) * 1.0
         Hz = Hz + jnp.diag(diag)
@@ -437,6 +446,8 @@ def relocalization_edge(graph: PoseGraph, belief_pose4: jnp.ndarray,
             jnp.where(do, info4, graph.edge_info[e])),
         edge_valid=new_valid,
         num_edges=jnp.sum(new_valid).astype(graph.num_edges.dtype),
+        edges_dropped=graph.edges_dropped + (
+            match_ok & has_last & (last != 0) & ~room).astype(jnp.int32),
     )
     return g, do
 

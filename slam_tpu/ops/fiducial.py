@@ -233,18 +233,6 @@ def connected_components(mask: jnp.ndarray, iters: int) -> jnp.ndarray:
 
 # ---------- stage 3-4: components, moments, corners ----------
 
-def _component_table(labels: jnp.ndarray, num_slots: int):
-    """Hash components into fixed slots: slot owner = min label hashing there.
-    Returns (per-pixel slot or num_slots, slot_owner_label (num_slots,))."""
-    flat = labels.reshape(-1)
-    valid = flat >= 0
-    h = jnp.where(valid, flat % num_slots, num_slots)
-    owner = jnp.full((num_slots + 1,), jnp.iinfo(jnp.int32).max,
-                     jnp.int32).at[h].min(jnp.where(valid, flat, jnp.iinfo(jnp.int32).max))
-    mine = valid & (owner[h] == flat)
-    return jnp.where(mine, h, num_slots), owner[:num_slots]
-
-
 def detect_tags(img: jnp.ndarray, codebook: jnp.ndarray,
                 cfg: FiducialConfig = FiducialConfig()) -> Detections:
     """Detect tags in one grayscale image (H, W) in [0, 1]; vmap over batch.
@@ -274,7 +262,10 @@ def detect_tags(img: jnp.ndarray, codebook: jnp.ndarray,
         # components; large shapes come back to size under the dilation
         dark = _dilate(_erode(dark, cfg.open_radius), cfg.open_radius)
     labels = connected_components(dark, cfg.cc_iters)
-    slot_pp, _ = _component_table(labels, T)               # (Hs*Ws,)
+    # exact top-T-by-size slots (a hash table here dropped whole components
+    # on collision: >T dark blobs guaranteed one by pigeonhole, and a tag
+    # colliding with a smaller-label clutter blob simply vanished)
+    slot_pp, _ = _component_slots_topk(labels, T)          # (Hs*Ws,)
     H, W = Hs, Ws  # stages 3-4 operate in decimated coordinates
 
     yy = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0).reshape(-1)
@@ -676,13 +667,28 @@ def detect_tags_gradient(img: jnp.ndarray, codebook: jnp.ndarray,
     colin = seg_ok[:, None] & seg_ok[None, :] & (dd > 0.95) & \
         (gap < cfg.collinear_join_dist) & (lateral < 3.0) & \
         ~jnp.eye(T, dtype=bool)
-    # absorb j into i (single-link): extend i's end to j's end, kill j
-    absorb_j = jnp.any(colin, axis=0)
-    src_i = jnp.argmax(colin, axis=0)                         # for each j
-    p1 = p1.at[src_i].set(jnp.where(absorb_j[:, None], p1, p1[src_i]))
-    # note: at[].set with duplicate src_i keeps one arbitrary — fine, the
-    # merge only needs SOME extension; then drop absorbed segments
-    seg_ok = seg_ok & ~absorb_j
+    # j must EXTEND i (its end projects beyond i's end): makes the
+    # successor relation acyclic, so two short mutually-collinear fragments
+    # can't absorb each other and both die
+    progress = jnp.sum(dvec[:, None, :] * (p1[None, :, :] - p1[:, None, :]),
+                       -1)
+    colin = colin & (progress > 0.0)
+    # multi-link chain absorb: follow each segment's NEAREST collinear
+    # successor to the chain terminal by pointer doubling (single-link
+    # absorption lost the far extent of a side split into 3+ fragments:
+    # the middle fragment died before passing its extension on)
+    has_next = jnp.any(colin, axis=1)
+    nxt = jnp.where(has_next,
+                    jnp.argmin(jnp.where(colin, gap, jnp.inf), axis=1),
+                    jnp.arange(T))
+    f = nxt
+    for _ in range(max(1, T.bit_length())):
+        f = f[f]
+    p1 = p1[f]                                # chain-terminal forward end
+    seg_ok = seg_ok & ~jnp.any(colin, axis=0)  # heads survive
+    # lengths grew by the absorbed extent: the chaining budget below
+    # (join_ij scales with length) must see the merged length
+    length = jnp.linalg.norm(p1 - p0, axis=-1)
 
     # --- endpoint chaining: i -> j when i's end meets j's start with a
     # LEFT turn (consistent winding). The allowed endpoint gap scales with

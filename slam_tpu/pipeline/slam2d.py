@@ -360,7 +360,8 @@ def process_frame_planes(state: SlamState, scan_x, scan_y, hit, gyro, cmd,
     from slam_tpu.utils import metrics
     metrics.emit("slam_step", icp_ok=icp.ok, num_corr=icp.num_corr,
                  mean_residual=icp.mean_residual)
-    ring = metrics.ring_write(state.metrics_ring, step=state.step,
+    ring = metrics.ring_write(state.metrics_ring, site="slam_step",
+                              step=state.step,
                               icp_ok=icp.ok, num_corr=icp.num_corr,
                               mean_residual=icp.mean_residual,
                               scene_points=jnp.sum(skeep))
@@ -485,7 +486,8 @@ def graph_update(state: SlamState, cfg: SlamConfig) -> SlamState:
 
     graph, added = pg.add_keyframe(
         state.graph, state.pose, state.prev_scene, cfg.icp, cfg.graph,
-        min_points=cfg.cloud.min_scan_points)
+        min_points=max(cfg.cloud.min_scan_points,
+                       cfg.graph.min_keyframe_points))
 
     def do_opt(g):
         g, delta = pg.optimize(g, cfg.graph)
@@ -516,7 +518,8 @@ def graph_update(state: SlamState, cfg: SlamConfig) -> SlamState:
     metrics.emit("graph_update", added=added, num_nodes=graph.num_nodes,
                  num_edges=graph.num_edges,
                  graph_full=graph.num_nodes >= cfg.graph.max_nodes)
-    ring = metrics.ring_write(state.metrics_ring, step=state.step,
+    ring = metrics.ring_write(state.metrics_ring, site="graph_update",
+                              step=state.step,
                               graph_nodes=graph.num_nodes,
                               graph_edges=graph.num_edges)
     return state.replace(graph=graph, map_cloud=map_cloud,

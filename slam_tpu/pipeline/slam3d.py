@@ -254,7 +254,8 @@ def process_frame_3d(state: SlamState, ground_map: GroundMap, scan_tilted,
     metrics.emit("slam_step_3d", icp_ok=icp.ok, num_corr=icp.num_corr,
                  mean_residual=icp.mean_residual,
                  scene_points=jnp.sum(ovalid))
-    ring = metrics.ring_write(state.metrics_ring, step=state.step,
+    ring = metrics.ring_write(state.metrics_ring, site="slam_step_3d",
+                              step=state.step,
                               icp_ok=icp.ok, num_corr=icp.num_corr,
                               mean_residual=icp.mean_residual,
                               scene_points=jnp.sum(ovalid))

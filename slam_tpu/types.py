@@ -120,6 +120,9 @@ class PoseGraph:
     edge_info: (E, 4, 4) — information matrix (x, y, yaw, z block)
     edge_valid:(E,) bool
     num_nodes, num_edges: () int32
+    edges_dropped: () int32 — accepted measurements lost to a full edge
+        table (never silently: loop closures / odometry edges that could
+        not be stored; nonzero means max_edges is undersized)
     """
 
     node_pose: jnp.ndarray
@@ -136,6 +139,7 @@ class PoseGraph:
     edge_valid: jnp.ndarray
     num_nodes: jnp.ndarray
     num_edges: jnp.ndarray
+    edges_dropped: jnp.ndarray
 
 
 @struct.dataclass

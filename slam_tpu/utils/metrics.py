@@ -97,8 +97,9 @@ def _record(name: str, **scalars) -> None:
             rec.setdefault("batch", int(a.shape[0]))
     with _lock:
         _records.append(rec)
-    if _user_cb is not None:
-        _user_cb(rec)
+        cb = _user_cb          # snapshot under the lock: disable() may race
+    if cb is not None:
+        cb(rec)
 
 
 def emit(name: str, **scalars) -> None:
@@ -132,37 +133,52 @@ def summary() -> dict[str, dict[str, float]]:
 
 RING_CHANNELS = (
     "step", "icp_ok", "num_corr", "mean_residual", "scene_points",
-    "graph_nodes", "graph_edges", "reserved",
+    "graph_nodes", "graph_edges",
 )
+# the last two row slots carry metadata: which emission site wrote the row
+# (index into RING_SITES) and a bitmask of the channels it actually set —
+# rows from different sites were previously indistinguishable, and an
+# unwritten channel read as a literal 0.0 (a graph row dragged the mean
+# icp_ok toward 0)
+RING_SITES = ("slam_step", "slam_step_3d", "graph_update", "other")
+_ROW_LEN = len(RING_CHANNELS) + 2
 
 
 def init_ring(capacity: int = 256):
-    """Device metrics ring: (capacity, len(RING_CHANNELS)) f32 + write count.
-    Returned as a plain tuple pytree (buf, idx) so it nests in SlamState
-    without a new container type."""
+    """Device metrics ring: (capacity, channels + site + mask) f32 + write
+    count. Returned as a plain tuple pytree (buf, idx) so it nests in
+    SlamState without a new container type."""
     import jax.numpy as jnp
-    return (jnp.full((capacity, len(RING_CHANNELS)), jnp.nan, jnp.float32),
+    return (jnp.full((capacity, _ROW_LEN), jnp.nan, jnp.float32),
             jnp.int32(0))
 
 
-def ring_write(ring, **scalars):
-    """Write named scalars (a subset of RING_CHANNELS) as one ring row.
-    None ring passes through (ring disabled). Pure; call from jitted code."""
+def ring_write(ring, site: str = "other", **scalars):
+    """Write named scalars (a subset of RING_CHANNELS) as one ring row
+    tagged with the emission site. None ring passes through (ring
+    disabled). Pure; call from jitted code (site is trace-time static)."""
     if ring is None:
         return None
     import jax.numpy as jnp
     buf, idx = ring
-    row = jnp.zeros((len(RING_CHANNELS),), jnp.float32)
+    row = jnp.zeros((_ROW_LEN,), jnp.float32)
+    mask = 0
     for k, v in scalars.items():
         c = RING_CHANNELS.index(k)
         row = row.at[c].set(jnp.asarray(v, jnp.float32))
+        mask |= 1 << c
+    site_i = RING_SITES.index(site) if site in RING_SITES \
+        else len(RING_SITES) - 1
+    row = row.at[len(RING_CHANNELS)].set(float(site_i))
+    row = row.at[len(RING_CHANNELS) + 1].set(float(mask))
     buf = buf.at[idx % buf.shape[0]].set(row)
     return (buf, idx + 1)
 
 
 def drain_ring(ring) -> list[dict]:
     """Fetch a ring (or a batch of rings with leading robot dims) written on
-    device: returns records like the callback path ({"name": "ring", ...})."""
+    device: records carry the emission-site name and ONLY the channels that
+    site wrote (like the callback path)."""
     if ring is None:
         return []
     buf, idx = np.asarray(ring[0]), np.asarray(ring[1])
@@ -171,8 +187,12 @@ def drain_ring(ring) -> list[dict]:
     for r in rows:
         if not np.isfinite(r).any():
             continue  # never written
-        rec = {"name": "ring"}
-        rec.update({k: float(v) for k, v in zip(RING_CHANNELS, r)})
+        site = int(r[len(RING_CHANNELS)])
+        mask = int(r[len(RING_CHANNELS) + 1])
+        rec = {"name": RING_SITES[site] if 0 <= site < len(RING_SITES)
+               else "ring"}
+        rec.update({k: float(v) for c, (k, v)
+                    in enumerate(zip(RING_CHANNELS, r)) if mask & (1 << c)})
         out.append(rec)
     return out
 

@@ -312,3 +312,23 @@ def test_gradient_segmenter_dispatch(codebook):
     det = detect_tags(img, codebook, cfg)
     v = np.asarray(det.valid)
     assert v.any() and tag in np.asarray(det.tag_id)[v]
+
+
+def test_tag_survives_many_clutter_components(codebook):
+    """More dark components than hash slots used to guarantee collisions
+    (pigeonhole) and could silently drop the tag's component; the exact
+    top-K-by-size slots keep the (large) tag border regardless of clutter
+    count."""
+    rng = np.random.RandomState(5)
+    tag = 7
+    corners = _square(96, 96, 30, angle=0.15)
+    img = np.array(render_tag(codebook[tag], corners, 192, 192))
+    # sprinkle 60 isolated dark specks (2x2 px) well away from the tag
+    for _ in range(60):
+        x = rng.randint(4, 188)
+        y = rng.randint(4, 50)  # top strip only; tag sits near (96, 96)
+        img[y:y + 2, x:x + 2] = 0.05
+    det = detect_tags(jnp.asarray(img), codebook, FiducialConfig(min_area=100))
+    v = np.asarray(det.valid)
+    assert v.any(), "tag lost among clutter components"
+    assert tag in np.asarray(det.tag_id)[v]

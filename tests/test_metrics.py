@@ -112,3 +112,27 @@ def test_device_metrics_ring_matches_callback_path():
     ok_rate_ring = np.mean([r["icp_ok"] for r in recs])
     ok_rate_cb = np.mean([c["icp_ok"] for c in cb])
     assert abs(ok_rate_ring - ok_rate_cb) < 1e-6
+
+
+def test_ring_rows_keep_site_and_written_channels():
+    """Rows from different emission sites must stay distinguishable, and a
+    channel a site never wrote must be ABSENT from its drained record (an
+    unwritten 0.0 used to read as a measured zero — graph rows dragged the
+    mean icp_ok toward 0)."""
+    import jax.numpy as jnp
+    from slam_tpu.utils import metrics
+
+    ring = metrics.init_ring(8)
+    ring = metrics.ring_write(ring, site="slam_step", step=jnp.int32(1),
+                              icp_ok=jnp.float32(1.0),
+                              num_corr=jnp.float32(42.0))
+    ring = metrics.ring_write(ring, site="graph_update", step=jnp.int32(1),
+                              graph_nodes=jnp.float32(3.0))
+    recs = metrics.drain_ring(ring)
+    assert len(recs) == 2
+    by_name = {r["name"]: r for r in recs}
+    assert by_name["slam_step"]["icp_ok"] == 1.0
+    assert by_name["slam_step"]["num_corr"] == 42.0
+    assert "graph_nodes" not in by_name["slam_step"]
+    assert by_name["graph_update"]["graph_nodes"] == 3.0
+    assert "icp_ok" not in by_name["graph_update"]

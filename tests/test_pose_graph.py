@@ -207,3 +207,41 @@ def test_regenerate_map():
     # every map point should be near some true landmark
     d = np.linalg.norm(world[:, None, :2] - pts[None], axis=-1).min(1)
     assert d.max() < 0.5
+
+
+def test_z_solve_moves_toward_measurement():
+    """Two nodes at z=0 with one edge measuring dz=+1: optimize must move
+    node 1 TOWARD +1 (the b-vector signs were once flipped, driving it to
+    -1 — z drift corrections applied doubled in the wrong direction)."""
+    gcfg, _ = _cfgs()
+    g = pg.init_graph(gcfg)
+    g = g.replace(
+        node_pose=g.node_pose.at[0].set(jnp.array([0., 0., 0., 0.]))
+                             .at[1].set(jnp.array([3., 0., 0., 0.])),
+        node_valid=g.node_valid.at[0].set(True).at[1].set(True),
+        node_stamp=g.node_stamp.at[0].set(0).at[1].set(1),
+        edge_ij=g.edge_ij.at[0].set(jnp.array([0, 1])),
+        edge_rel=g.edge_rel.at[0].set(jnp.array([3., 0., 0., 1.0])),
+        edge_info=g.edge_info.at[0].set(jnp.eye(4)),
+        edge_valid=g.edge_valid.at[0].set(True),
+        num_nodes=jnp.int32(2), num_edges=jnp.int32(1))
+    g2, _ = pg.optimize(g, gcfg)
+    z1 = float(g2.node_pose[1, 3])
+    assert z1 > 0.9, f"z moved to {z1}, expected ~+1 (sign regression)"
+
+
+def test_edges_dropped_counted_when_table_full():
+    """An accepted edge that finds no free slot must increment
+    edges_dropped, never vanish silently."""
+    import dataclasses
+    gcfg, icfg = _cfgs()
+    gcfg = dataclasses.replace(gcfg, max_edges=1)  # room for one edge only
+    pts = _landmarks()
+    graph = pg.init_graph(gcfg)
+    poses = ([0, 0, 0, 0], [3, 0, 0.1, 0], [6, 0, 0.2, 0], [9, 0, 0.3, 0])
+    for pose in poses:
+        p = np.asarray(pose, np.float32)
+        graph, _ = pg.add_keyframe(graph, jnp.array(p),
+                                   world_cloud_at(p, pts), icfg, gcfg)
+    assert int(graph.num_edges) == 1
+    assert int(graph.edges_dropped) >= 1
