@@ -187,7 +187,11 @@ class GlobalMatchConfig:
 
     num_restarts: int = 20               # global_match.cpp:36 (random restarts)
     search_radius: float = 10.0          # global_match.cpp:105-122 (+-10 m)
-    accept_score: float = 0.002          # global_match.cpp:30,151
+    # MATCH-FRACTION lower bound in [0, 1] (fraction of occupied scene
+    # raster cells landing on dilated map mass). NOT the reference's 0.002:
+    # that (global_match.cpp:30,151) bounds fitness/N, an ERROR metric with
+    # an unrelated scale — reusing it here would accept nearly any match.
+    accept_score: float = 0.35
     max_failures: int = 50               # global_match.cpp:204 fallback gate
     voxel_leaf: float = 1.5              # global_match.cpp:92-94
     # FFT correlative search parameters (ours; replaces random-restart GICP)

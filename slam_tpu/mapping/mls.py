@@ -53,20 +53,24 @@ def init_mls(cfg: MlsConfig, dtype=jnp.float32) -> MlsGrid:
 def shift_origin_mls(grid: MlsGrid, new_center_xy: jnp.ndarray,
                      cfg: MlsConfig) -> MlsGrid:
     """Rolling-origin shift (MLS::setPose, mls.cpp:408-479)."""
-    res = jnp.asarray(cfg.resolution, grid.center.dtype)
-    d = jnp.round((new_center_xy - grid.center) / res).astype(jnp.int32)
-    center = grid.center + d.astype(grid.center.dtype) * res
-    from slam_tpu.ops.roll import roll_2d
+    from slam_tpu.ops.roll import fresh_mask, roll_2d, shift_step
+
+    d, center = shift_step(grid.center, new_center_xy, cfg.resolution)
     roll2 = lambda a: roll_2d(a, d[0], d[1])
     mean = roll2(grid.mean)
     var_z = roll2(grid.var_z)
     num = roll2(grid.num_pts)
     drv = roll2(grid.drivable)
     H, W = drv.shape
-    ii = jnp.arange(H)[:, None]
-    jj = jnp.arange(W)[None, :]
-    fresh = ((ii + d[0] < 0) | (ii + d[0] >= H) |
-             (jj + d[1] < 0) | (jj + d[1] >= W))
+    # cluster mean x/y are stored CENTER-RELATIVE (add_to_mls bins the
+    # robot-centered cloud directly): moving the center by d cells must
+    # translate the surviving means by -d*res, or pre-shift clusters stay
+    # in the old frame and later scans blend two frames (a cluster drifted
+    # by the cumulative shift). z and var are frame-free.
+    res = jnp.asarray(cfg.resolution, mean.dtype)
+    mean = mean.at[..., 0].add(-d[0].astype(mean.dtype) * res)
+    mean = mean.at[..., 1].add(-d[1].astype(mean.dtype) * res)
+    fresh = fresh_mask(d, H, W)
     mean = jnp.where(fresh[..., None, None], 0.0, mean)
     var_z = jnp.where(fresh[..., None], 0.0, var_z)
     num = jnp.where(fresh[..., None], 0.0, num)
@@ -79,9 +83,18 @@ def _associate(grid: MlsGrid, cx, cy, z, inb, cfg: MlsConfig):
     """Phase A: per-point cluster slot (mls.cpp:158-197). Returns slot in
     [0, K] where K means 'new cluster'."""
     K = cfg.max_clusters
-    means_z = grid.mean[cx, cy, :, 2]                     # (N, K)
-    var = grid.var_z[cx, cy]
-    num = grid.num_pts[cx, cy]
+    # one packed row gather for all 3K per-cell stats (native per-element
+    # fancy indexing serializes ~20 ns/element on TPU — the pattern
+    # scatter2d.gather_cells_2d exists to replace; HIGHEST keeps the
+    # gathered z/var values bit-exact so association gates can't flip)
+    from slam_tpu.ops.scatter2d import gather_cells_2d
+    chans = jnp.concatenate([grid.mean[..., 2], grid.var_z, grid.num_pts],
+                            axis=-1)                      # (H, W, 3K)
+    rows = gather_cells_2d(chans, cx, cy,
+                           precision=jax.lax.Precision.HIGHEST)
+    means_z = rows[:, :K]                                 # (N, K)
+    var = rows[:, K:2 * K]
+    num = rows[:, 2 * K:]
     dist = jnp.abs(means_z - z[:, None])
     initialized = num >= cfg.min_cluster_points
     gate = jnp.sqrt(jnp.maximum(var, 0.0)) * cfg.cluster_sigma_factor + \
@@ -258,10 +271,16 @@ def _drivability(grid: MlsGrid, touched: jnp.ndarray,
     clearance = mean_z[ni] - jnp.sqrt(jnp.maximum(var_z[ni], 0.0)) * 2 - ground_z
     blocked_intra = next_ok & (clearance < cfg.drive_dist_threshold)
 
-    # neighbor height diff (mls.cpp:307-328): vs neighbors' cluster-0 mean
+    # neighbor height diff (mls.cpp:307-328): the reference compares the
+    # CELL's clusters[0].mean (whatever its point count — even a 1-point
+    # noise cluster, mls.cpp:316) against NEIGHBOR cells' clusters[0] gated
+    # at > min_cluster_points (mls.cpp:315). Matching that exactly: the
+    # cell side needs only a non-empty slot 0; only neighbors are gated.
     z0 = mean_z[..., 0]
-    n0_ok = num[..., 0] >= cfg.min_cluster_points
-    pz = jnp.pad(jnp.where(n0_ok, z0, jnp.inf), 1, constant_values=jnp.inf)
+    cell0_nonempty = num[..., 0] > 0
+    nbr0_init = num[..., 0] >= cfg.min_cluster_points
+    pz = jnp.pad(jnp.where(nbr0_init, z0, jnp.inf), 1,
+                 constant_values=jnp.inf)
     diffs = []
     for di in (-1, 0, 1):
         for dj in (-1, 0, 1):
@@ -270,7 +289,7 @@ def _drivability(grid: MlsGrid, touched: jnp.ndarray,
             nz = pz[1 + di: 1 + di + H, 1 + dj: 1 + dj + W]
             diffs.append(jnp.where(jnp.isfinite(nz), z0 - nz, -jnp.inf))
     max_diff = jnp.stack(diffs).max(axis=0)
-    blocked_nbr = n0_ok & (max_diff > cfg.height_threshold)
+    blocked_nbr = cell0_nonempty & (max_diff > cfg.height_threshold)
 
     blocked_var = jnp.abs(ground_var) > cfg.normal_threshold  # mls.cpp:332
 

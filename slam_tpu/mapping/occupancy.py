@@ -34,22 +34,13 @@ def shift_origin(grid: OccupancyGrid, new_center_xy: jnp.ndarray,
     the window. The grid array stays robot-centered: array index (size/2,
     size/2) is the cell containing `center`.
     """
-    res = jnp.asarray(cfg.resolution, grid.center.dtype)
-    d = jnp.round((new_center_xy - grid.center) / res).astype(jnp.int32)
-    center = grid.center + d.astype(grid.center.dtype) * res
+    from slam_tpu.ops.roll import fresh_mask, roll_2d, shift_step
 
-    from slam_tpu.ops.roll import roll_2d
+    d, center = shift_step(grid.center, new_center_xy, cfg.resolution)
     counts = roll_2d(grid.counts, d[0], d[1])
     drivable = roll_2d(grid.drivable, d[0], d[1])
-
     # clear the band that wrapped in (mls.cpp:457-468)
-    H, W = counts.shape
-    ii = jnp.arange(H)[:, None]
-    jj = jnp.arange(W)[None, :]
-    # after rolling by -d, fresh cells are those whose pre-shift index fell
-    # outside [0, size): i_old = i + d
-    fresh = ((ii + d[0] < 0) | (ii + d[0] >= H) |
-             (jj + d[1] < 0) | (jj + d[1] >= W))
+    fresh = fresh_mask(d, *counts.shape)
     counts = jnp.where(fresh, 0.0, counts)
     drivable = jnp.where(fresh, jnp.int8(-1), drivable)
     return grid.replace(counts=counts, drivable=drivable, center=center)
@@ -68,7 +59,14 @@ def _apply_counts_drivability(grid: OccupancyGrid, delta, touch,
     """Shared occupancy tail (mls.cpp:118-142): apply the net count delta,
     then flip drivability only for cells touched this scan — untouched cells
     keep their flag. The reference evaluates per point; the net post-scan
-    count decides identically except exact-threshold ties."""
+    count decides identically except exact-threshold ties.
+
+    Counts accumulate UNBOUNDED in both directions — deliberately matching
+    the reference exactly (mls.cpp:99 += / :135 -= with no clamp). The
+    shared trait: a cell observed free for a long time needs proportionally
+    many obstacle points to flip (evidence latency grows with history);
+    bound it by clamping counts at the call site if a deployment needs
+    fast dynamic-obstacle response."""
     counts = grid.counts + delta
     touched = touch > 0
     occupied = touched & (counts > cfg.min_cluster_points)

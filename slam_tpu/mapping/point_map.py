@@ -48,19 +48,18 @@ def init_point_map(grid_size: int, resolution: float = 0.5,
 
 def shift_point_map(grid: PointMapGrid, new_center_xy: jnp.ndarray,
                     resolution: float | None = None) -> PointMapGrid:
-    res = jnp.asarray(resolution or grid.resolution, grid.center.dtype)
-    d = jnp.round((new_center_xy - grid.center) / res).astype(jnp.int32)
-    center = grid.center + d.astype(grid.center.dtype) * res
+    from slam_tpu.ops.roll import fresh_mask, roll_2d, shift_step
+
+    d, center = shift_step(grid.center, new_center_xy,
+                           resolution or grid.resolution)
     G = grid.count.shape[0]
-    ii = jnp.arange(G)[:, None]
-    jj = jnp.arange(G)[None, :]
-    fresh = ((ii + d[0] < 0) | (ii + d[0] >= G) |
-             (jj + d[1] < 0) | (jj + d[1] >= G))
+    fresh = fresh_mask(d, G, G)
 
     def move(a):
-        from slam_tpu.ops.roll import roll_2d
         return jnp.where(fresh, 0.0, roll_2d(a, d[0], d[1]))
 
+    # sum_x/sum_y are CELL-relative offsets (not center-relative), so the
+    # shift needs no coordinate translation — only sum_z/center care
     return PointMapGrid(count=move(grid.count), sum_x=move(grid.sum_x),
                         sum_y=move(grid.sum_y), sum_z=move(grid.sum_z),
                         center=center, resolution=grid.resolution)

@@ -10,9 +10,13 @@ search than 20 random seeds, and it vmaps over robots. The best cell is then
 polished with the class-constrained ICP (the reference refines with GICP,
 global_match.cpp:151-172).
 
-Acceptance: normalized correlation (matched fraction of scene points). The
-reference's fitness/N < 0.002 plays the same role with an unrelated scale;
-both default thresholds accept clearly-correct matches only.
+Acceptance: normalized correlation — the matched fraction of OCCUPIED SCENE
+RASTER CELLS, in [0, 1] (1.0 = every rasterized scene cell lands on dilated
+map mass). NOTE the scale is unrelated to the reference's acceptance: its
+fitness/N < 0.002 is an ERROR metric (small = good, global_match.cpp:151);
+ours is a match fraction (large = good) — GlobalMatchConfig.accept_score
+defaults to 0.35 accordingly and must NOT be set to the reference's 0.002
+(which would accept nearly anything).
 """
 
 from __future__ import annotations
@@ -29,8 +33,8 @@ from slam_tpu.types import PointCloud
 
 
 class MatchResult(NamedTuple):
-    pose: jnp.ndarray    # (3,) scene->map x, y, yaw
-    score: jnp.ndarray   # () matched fraction of scene points [0, 1]
+    pose: jnp.ndarray    # (3,) scene->map x, y, yaw (wrapped to [-pi, pi])
+    score: jnp.ndarray   # () matched fraction of occupied scene cells [0, 1]
     ok: jnp.ndarray      # () accepted?
 
 
@@ -57,7 +61,8 @@ def dilate(img: jnp.ndarray, radius: int) -> jnp.ndarray:
     return img
 
 
-def fft_correlate(map_img: jnp.ndarray, scene_imgs: jnp.ndarray) -> jnp.ndarray:
+def fft_correlate(map_img: jnp.ndarray, scene_imgs: jnp.ndarray,
+                  map_spectrum: jnp.ndarray | None = None) -> jnp.ndarray:
     """Linear cross-correlation scores (K, 2G, 2G) of each rotated scene
     raster against the map raster, via zero-padded rFFT.
 
@@ -67,10 +72,14 @@ def fft_correlate(map_img: jnp.ndarray, scene_imgs: jnp.ndarray) -> jnp.ndarray:
     prior lives in). Lag (i, j) of the output decodes to the signed shift
     (i if i < G else i - 2G, j if j < G else j - 2G); lags with |shift| >= G
     have zero support overlap and score exactly 0.
+
+    map_spectrum: optional precomputed rfft2(map_img, s=(2G, 2G)) so callers
+    scoring many rotation chunks against one map pay the map FFT once.
     """
     G = map_img.shape[-1]
     pad = (2 * G, 2 * G)
-    F_map = jnp.fft.rfft2(map_img, s=pad)
+    F_map = jnp.fft.rfft2(map_img, s=pad) if map_spectrum is None \
+        else map_spectrum
     F_scn = jnp.fft.rfft2(scene_imgs, s=pad)
     return jnp.fft.irfft2(F_map[None] * jnp.conj(F_scn), s=pad)
 
@@ -103,26 +112,34 @@ def global_match(scene: PointCloud, map_cloud: PointCloud,
         # (chunk, 2G, 2G) correlation planes live at once — not all K; the
         # full stack at fleet batch sizes is multi-GB of HLO temps (OOM)
         imgs = jax.vmap(scene_raster)(th)                        # (c, G, G)
-        F_scn = jnp.fft.rfft2(imgs, s=(P, P))
-        corr = jnp.fft.irfft2(F_map[None] * jnp.conj(F_scn), s=(P, P))
+        corr = fft_correlate(map_img, imgs, map_spectrum=F_map)
         flat = corr.reshape(th.shape[0], -1)
         idx = jnp.argmax(flat, axis=-1)
-        return idx, jnp.take_along_axis(flat, idx[:, None], -1)[:, 0]
+        return (idx, jnp.take_along_axis(flat, idx[:, None], -1)[:, 0],
+                jnp.sum(imgs, axis=(1, 2)))
 
-    idxs, bests = jax.lax.map(score_chunk, angles.reshape(K // chunk, chunk))
+    idxs, bests, cells = jax.lax.map(score_chunk,
+                                     angles.reshape(K // chunk, chunk))
     flat_idx = idxs.reshape(K)
     best_per_rot = bests.reshape(K)
-    k = jnp.argmax(best_per_rot)
+    cells_per_rot = cells.reshape(K)
+    # score normalizes by occupied scene RASTER cells (the correlation's own
+    # support), not valid points: several points can share one raster cell
+    # (scene voxel finer than grid_resolution), which deflated a perfect
+    # alignment to ~voxel/raster area ratio and pushed correct matches
+    # under the acceptance threshold
+    frac_per_rot = best_per_rot / jnp.maximum(cells_per_rot, 1.0)
+    k = jnp.argmax(frac_per_rot)
     ij = flat_idx[k]
     si, sj = ij // P, ij % P
     # linear (zero-padded) lag -> signed translation in cells
     dx = jnp.where(si >= G, si - P, si).astype(jnp.float32)
     dy = jnp.where(sj >= G, sj - P, sj).astype(jnp.float32)
     trans = jnp.stack([dx, dy]) * cfg.grid_resolution + prior_xy
-    coarse = jnp.concatenate([trans, angles[k][None]])
+    from slam_tpu.geometry import angle_wrap
+    coarse = jnp.concatenate([trans, angle_wrap(angles[k])[None]])
 
-    n_scene = jnp.maximum(jnp.sum(scene.valid), 1)
-    score = best_per_rot[k] / n_scene
+    score = frac_per_rot[k]
 
     pose = coarse
     if icp_cfg is not None:

@@ -38,3 +38,23 @@ def roll_2d(a: jnp.ndarray, d0: jnp.ndarray, d1: jnp.ndarray) -> jnp.ndarray:
     t = jnp.einsum("kl,ilc->ikc", P1, t,
                    precision=jax.lax.Precision.HIGHEST)
     return t.reshape(a.shape).astype(a.dtype)
+
+
+def shift_step(center, new_center_xy, resolution):
+    """Quantized rolling-origin step shared by every rolling grid
+    (occupancy.shift_origin, mls.shift_origin_mls, point_map.shift_point_map
+    — MLS::setPose semantics, mls.cpp:408-479): returns (d, new_center)
+    where d is the whole-cell shift round((new - center)/res)."""
+    res = jnp.asarray(resolution, center.dtype)
+    d = jnp.round((new_center_xy - center) / res).astype(jnp.int32)
+    return d, center + d.astype(center.dtype) * res
+
+
+def fresh_mask(d, H: int, W: int) -> jnp.ndarray:
+    """(H, W) cells that wrapped IN after roll_2d(a, d0, d1) — their
+    pre-shift index fell outside the window and they must be cleared
+    (mls.cpp:457-468)."""
+    ii = jnp.arange(H)[:, None]
+    jj = jnp.arange(W)[None, :]
+    return ((ii + d[0] < 0) | (ii + d[0] >= H) |
+            (jj + d[1] < 0) | (jj + d[1] >= W))

@@ -127,3 +127,40 @@ def test_vmappable_over_robots():
     assert res.pose.shape == (2, 3)
     for b, p in enumerate(poses):
         assert np.linalg.norm(np.asarray(res.pose[b, :2]) - p[:2]) < 1.5
+
+
+def test_dense_scene_scores_near_one_when_aligned():
+    """Several scene points per raster cell must not deflate the score: it
+    normalizes by OCCUPIED SCENE RASTER CELLS, not point count (a perfect
+    alignment at 4 points/cell used to score ~0.25 and get rejected)."""
+    cfg = GlobalMatchConfig(num_rotations=16, grid_size=64,
+                            grid_resolution=1.0, accept_score=0.5)
+    rng = np.random.default_rng(3)
+    base = rng.uniform(-15, 15, (80, 2)).astype(np.float32)
+    # 4 points per 1 m cell (0.2 m cluster around each base point)
+    dense = (base[:, None, :] +
+             rng.uniform(-0.2, 0.2, (80, 4, 2)).astype(np.float32))
+    m = np.concatenate([base, np.zeros((80, 1), np.float32)], 1)
+    s = np.concatenate([dense.reshape(-1, 2),
+                        np.zeros((320, 1), np.float32)], 1)
+    res = global_match(cloud_from_xyz(jnp.array(s)),
+                       cloud_from_xyz(jnp.array(m)), jnp.zeros(2), cfg)
+    assert float(res.score) > 0.7, float(res.score)
+    assert bool(res.ok)
+
+
+def test_coarse_yaw_is_wrapped():
+    """A true relative yaw just below 0 matches the last rotation slice
+    (~2pi); the returned coarse pose must be wrapped to [-pi, pi], matching
+    the repo-wide yaw convention (no 2pi-off beliefs downstream)."""
+    cfg = GlobalMatchConfig(num_rotations=64, grid_size=128,
+                            grid_resolution=0.5, accept_score=0.3)
+    m = _map_points(seed=4)
+    true_pose = np.array([2.0, 1.0, -0.1], np.float32)
+    scene = _scene_from(m, true_pose)
+    res = global_match(cloud_from_xyz(jnp.array(scene)),
+                       cloud_from_xyz(jnp.array(m)),
+                       jnp.zeros(2), cfg, icp_cfg=None)  # no ICP polish
+    yaw = float(res.pose[2])
+    assert -np.pi - 1e-6 <= yaw <= np.pi + 1e-6, yaw
+    assert abs(yaw - (-0.1)) < 0.11  # one slice = 2pi/64 ~ 0.098

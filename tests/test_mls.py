@@ -142,3 +142,32 @@ def test_mls_marker_visualization(tmp_path):
     out = tmp_path / "mls.png"
     render_mls_markers(str(out), m)
     assert out.exists() or (tmp_path / "mls.png.npz").exists()
+
+
+def test_shift_translates_cluster_means_to_new_frame():
+    """Cluster mean x/y are center-relative; a rolling shift must translate
+    them by -d*res or pre-shift clusters stay in the old frame and later
+    scans blend two frames (cumulative-drift export bug)."""
+    cfg = cfg_small()
+    grid = init_mls(cfg)
+    pts = np.zeros((8, 3), np.float32)
+    pts[:, 0] = 1.0      # world x = 1, center (0, 0)
+    pts[:, 2] = 0.5
+    cloud = cloud_from_xyz(jnp.asarray(pts))
+    grid = add_to_mls(grid, cloud, cfg)
+    # find the cluster and check stored mean x
+    num = np.asarray(grid.num_pts)
+    ci = np.argwhere(num > 0)
+    assert len(ci) == 1
+    i, j, k = ci[0]
+    assert abs(float(grid.mean[i, j, k, 0]) - 1.0) < 1e-5
+    # shift the window center to (2, 0): the same cluster is now at
+    # x = -1 in the NEW center-relative frame
+    g2 = shift_origin_mls(grid, jnp.array([2.0, 0.0]), cfg)
+    num2 = np.asarray(g2.num_pts)
+    ci2 = np.argwhere(num2 > 0)
+    assert len(ci2) == 1
+    i2, j2, k2 = ci2[0]
+    assert abs(float(g2.mean[i2, j2, k2, 0]) - (-1.0)) < 1e-5, \
+        float(g2.mean[i2, j2, k2, 0])
+    assert abs(float(g2.mean[i2, j2, k2, 2]) - 0.5) < 1e-5  # z frame-free
