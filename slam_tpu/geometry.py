@@ -12,10 +12,14 @@ import jax.numpy as jnp
 
 
 def angle_wrap(a: jnp.ndarray) -> jnp.ndarray:
-    """Standardize angle to [-pi, pi].
+    """Standardize angle to [-pi, pi] (true periodic wrap).
 
-    Matches nasa_ekf.cpp:85-97 for |a| < 3*pi; we use the periodic form which
-    is the fixed-point of the reference's single-step wrap.
+    The reference's angleWrap (nasa_ekf.cpp:85-97) is single-step and its
+    negative branch is `2*pi - a` — for a < -pi that RAISES the magnitude
+    (a=-3.2 -> 9.48, out of range), a latent reference bug its callers
+    dodge by only feeding small per-tick increments. We use the correct
+    periodic form everywhere; the two agree exactly on (-pi, pi] and on
+    the positive branch up to 3*pi.
     """
     return jnp.arctan2(jnp.sin(a), jnp.cos(a))
 

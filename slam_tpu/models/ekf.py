@@ -43,8 +43,13 @@ def estimate_gyro_bias(gyro_samples: jnp.ndarray) -> jnp.ndarray:
 
 
 def clamp_cmd(cmd: jnp.ndarray, cfg: EkfConfig) -> jnp.ndarray:
-    """Clamp + NaN-reject control input (nasa_ekf.cpp:341-367)."""
-    cmd = jnp.where(jnp.isnan(cmd), 0.0, cmd)
+    """Clamp + NaN-reject control input (nasa_ekf.cpp:341-367).
+
+    Reference semantics exactly: ANY NaN component zeroes the WHOLE command
+    (the cmdCallback rejects the message outright), not just the bad
+    component — a half-trusted command would diverge from its trajectory."""
+    cmd = jnp.where(jnp.any(jnp.isnan(cmd), axis=-1, keepdims=True),
+                    0.0, cmd)
     lim = jnp.array([cfg.cmd_vel_max, cfg.cmd_vel_max, cfg.cmd_omega_max],
                     dtype=cmd.dtype)
     return jnp.clip(cmd, -lim, lim)

@@ -81,6 +81,10 @@ def pf_match(key: jnp.ndarray, grid: PointMapGrid, scan: PointCloud,
     idx = jnp.searchsorted(cdf, u)
     resampled = particles[jnp.clip(idx, 0, P - 1)]
 
-    best = jnp.max(scores)
-    return PFResult(pose=pose, score=best, ok=best >= cfg.min_score,
-                    particles=resampled)
+    # acceptance gates on the score of the RETURNED pose, not the best
+    # particle: on a multimodal posterior (corridor ambiguity) the softmax
+    # mean can land between two well-scoring modes where the scan matches
+    # nothing — gating on max(scores) would accept exactly that pose
+    out_score = score_pose(grid, scan_xy, scan.valid, pose, resolution)
+    return PFResult(pose=pose, score=out_score,
+                    ok=out_score >= cfg.min_score, particles=resampled)

@@ -62,7 +62,10 @@ def voxel_downsample(
     cnt = cnts[:out_capacity]
     out_valid = cnt > 0
     centroid = sums[:out_capacity] / jnp.maximum(cnt, 1.0)[:, None]
-    maj = (fsums[:out_capacity] * 2 > cnt[:, None].astype(jnp.int32))
+    # >= : exact half-ties KEEP the bit, matching PCL's rounded average
+    # (round(0.5) = 1) the docstring promises
+    maj = (fsums[:out_capacity] * 2 >= cnt[:, None].astype(jnp.int32))
+    maj = maj & (cnt[:, None] > 0)
     out_flags = (maj[:, 0] * 1 + maj[:, 1] * 2 + maj[:, 2] * 4).astype(jnp.int32)
 
     return PointCloud(
@@ -79,36 +82,18 @@ def voxel_downsample_pairwise(cloud: PointCloud,
     costs ~10x the matmul on TPU). Output stays in the input's slots: the
     first point of each voxel keeps its slot and carries the cell centroid;
     the rest are masked invalid. Flags: bitwise OR over the voxel's points
-    (within one scan the reference's 0/1 flags agree across a voxel)."""
-    import jax
+    (within one scan the reference's 0/1 flags agree across a voxel).
 
-    xyz = cloud.xyz
-    N = xyz.shape[0]
-    leaf_arr = jnp.asarray(leaf, xyz.dtype)
-    q = jnp.floor(xyz / leaf_arr).astype(jnp.int32)          # (N, 3)
-    same = jnp.all(q[:, None, :] == q[None, :, :], axis=-1) & \
-        cloud.valid[:, None] & cloud.valid[None, :]
-    Mf = same.astype(jnp.float32)
-    count = jnp.sum(Mf, axis=1)
-    n_idx = jnp.arange(N, dtype=jnp.int32)
-    first_m = jnp.min(jnp.where(same, n_idx[None, :], N), axis=1)
-    keep = cloud.valid & (first_m == n_idx)
-
-    # bf16-safe centroid: cell center + mean cell-relative offset
-    cc = (q.astype(xyz.dtype) + 0.5) * leaf_arr
-    rel = jnp.where(cloud.valid[:, None], xyz - cc, 0.0)
-    centroid = cc + jnp.matmul(Mf, rel,
-                               precision=jax.lax.Precision.DEFAULT) \
-        / jnp.maximum(count, 1.0)[:, None]
-
-    fbits = jnp.stack([(cloud.flags >> b) & 1 for b in range(3)],
-                      axis=-1).astype(jnp.float32)
-    fsum = jnp.matmul(Mf, fbits, precision=jax.lax.Precision.DEFAULT)
-    any_bit = fsum > 0.5
-    flags = (any_bit[:, 0] * 1 + any_bit[:, 1] * 2
-             + any_bit[:, 2] * 4).astype(jnp.int32)
-
-    return PointCloud(xyz=jnp.where(keep[:, None], centroid, 0.0),
+    Thin view over voxel_downsample_pairwise_planes — one incidence
+    implementation, two container shapes."""
+    fbits = tuple(((cloud.flags >> b) & 1).astype(cloud.xyz.dtype)
+                  for b in range(3))
+    (cx, cy, cz), keep, bits = voxel_downsample_pairwise_planes(
+        cloud.xyz[:, 0], cloud.xyz[:, 1], cloud.xyz[:, 2], cloud.valid,
+        fbits, leaf)
+    flags = (bits[0] * 1 + bits[1] * 2 + bits[2] * 4).astype(jnp.int32)
+    xyz = jnp.stack([cx, cy, cz], axis=-1)
+    return PointCloud(xyz=jnp.where(keep[:, None], xyz, 0.0),
                       valid=keep, flags=jnp.where(keep, flags, 0))
 
 

@@ -29,8 +29,19 @@ def init_distributed(coordinator: str | None = None,
 
     No-op when already initialized or when running single-process with no
     coordinator (the common local case). On TPU pods the arguments are
-    auto-detected from the environment."""
-    if jax.process_count() > 1:
+    auto-detected from the environment.
+
+    Must run before anything touches devices: probing jax.process_count()
+    here would itself initialize the XLA backend and make
+    jax.distributed.initialize unconditionally raise — so the
+    already-initialized check goes through jax.distributed's own state,
+    never through a device call."""
+    try:
+        already = jax.distributed.is_initialized()
+    except AttributeError:   # older jax: no is_initialized
+        from jax._src import distributed as _dist
+        already = _dist.global_state.client is not None
+    if already:
         return
     try:
         jax.distributed.initialize(coordinator_address=coordinator,
@@ -51,20 +62,25 @@ def make_fleet_mesh(sp: int = 1, hosts: int | None = None) -> Mesh:
     devices = jax.devices()
     n = len(devices)
     if jax.process_count() > 1:
-        try:
-            from jax.experimental import mesh_utils
-            per_host = n // jax.process_count()
-            # process_is_granule: a DCN granule is one HOST process (our dp-
-            # across-hosts topology), not a TPU slice — and it is the only
-            # granule CPU devices can report (no slice_index attribute),
-            # which the 2-process integration test relies on
-            # (tests/test_two_process_distributed.py)
-            arr = mesh_utils.create_hybrid_device_mesh(
-                (per_host // sp, sp), (jax.process_count(), 1),
-                devices=devices, process_is_granule=True)
-            return Mesh(arr, axis_names=("dp", "sp"))
-        except Exception:
-            pass  # fall through to the contiguous layout
+        per_host = n // jax.process_count()
+        if per_host % sp != 0:
+            # the contiguous fallback below would silently stripe an sp
+            # column across hosts — every-step halo collectives over DCN,
+            # the exact layout this module exists to prevent
+            raise ValueError(
+                f"sp={sp} does not fit inside one host "
+                f"({per_host} devices/host): spatial halo collectives "
+                "must ride ICI — lower sp or use more devices per host")
+        from jax.experimental import mesh_utils
+        # process_is_granule: a DCN granule is one HOST process (our dp-
+        # across-hosts topology), not a TPU slice — and it is the only
+        # granule CPU devices can report (no slice_index attribute),
+        # which the 2-process integration test relies on
+        # (tests/test_two_process_distributed.py)
+        arr = mesh_utils.create_hybrid_device_mesh(
+            (per_host // sp, sp), (jax.process_count(), 1),
+            devices=devices, process_is_granule=True)
+        return Mesh(arr, axis_names=("dp", "sp"))
     hosts = hosts or 1
     assert n % hosts == 0 and (n // hosts) % sp == 0, (n, hosts, sp)
     per_host = n // hosts

@@ -113,9 +113,15 @@ def test_slam_update_no_meas_passthrough(cfg):
 
 
 def test_clamp_cmd_rejects_nan_and_clamps(cfg):
+    # ANY NaN component zeroes the WHOLE command (the reference's
+    # cmdCallback rejects the message outright, nasa_ekf.cpp:344-352),
+    # not just the bad component
     cmd = jnp.array([jnp.nan, 5.0, -2.0])
     out = ekf_mod.clamp_cmd(cmd, cfg)
-    np.testing.assert_allclose(out, [0.0, 3.0, -0.75])
+    np.testing.assert_allclose(out, [0.0, 0.0, 0.0])
+    # NaN-free commands clamp per component
+    out2 = ekf_mod.clamp_cmd(jnp.array([1.0, 5.0, -2.0]), cfg)
+    np.testing.assert_allclose(out2, [1.0, 3.0, -0.75])
 
 
 def test_dead_reckoning_tracks_straight_line(cfg):
