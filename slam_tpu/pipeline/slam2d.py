@@ -15,22 +15,21 @@ loop at its scan rate with the EKF sub-cycled via `ekf_substeps`.
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 from slam_tpu.config import SlamConfig
-from slam_tpu.geometry import angle_wrap, se2_apply
+from slam_tpu.geometry import se2_apply
 from slam_tpu.mapping.occupancy import (add_to_occupancy_xy, init_occupancy,
                                         shift_origin)
 from slam_tpu.models import ekf as ekf_mod
 from slam_tpu.ops.classify import classify_ground_adjacent
 from slam_tpu.ops.icp import icp_fit
 from slam_tpu.ops.voxel import crop_box, voxel_downsample
+from slam_tpu.types import PointCloud, SlamState, make_cloud
 from slam_tpu.sim import world2d
 from slam_tpu.sim.world2d import World2D
-from slam_tpu.types import (PointCloud, SlamState, cloud_from_xyz, make_cloud)
 from slam_tpu.utils import metrics as metrics_mod
 
 
@@ -145,7 +144,7 @@ def build_scene_planes(px: jnp.ndarray, py: jnp.ndarray, hit: jnp.ndarray,
                          ci, cj)[:, 0] > 0.5
 
     ga = ga & keep
-    # pad/crop to the configured scene capacity (static shape contract)
+    # pad/compact to the configured scene capacity (static shape contract)
     cap = cfg.cloud.scene_capacity
     n = px.shape[0]
     if n < cap:
@@ -153,7 +152,15 @@ def build_scene_planes(px: jnp.ndarray, py: jnp.ndarray, hit: jnp.ndarray,
         sx, sy = jnp.pad(sx, (0, pad)), jnp.pad(sy, (0, pad))
         keep, ga = jnp.pad(keep, (0, pad)), jnp.pad(ga, (0, pad))
     elif n > cap:
-        sx, sy, keep, ga = sx[:cap], sy[:cap], keep[:cap], ga[:cap]
+        # compact kept centroids to the front, THEN truncate: slot order
+        # tracks scan bearing, so cropping raw slots would discard the back
+        # half of the field of view even when few voxel centroids survived
+        # — overflow must drop only excess VALID voxels (the ICP_MAX_PTS
+        # truncation, icpTools.cpp:255-259)
+        from slam_tpu.ops.voxel import compact_planes
+        (sx, sy, gaf), keep = compact_planes(
+            (sx, sy, ga.astype(sx.dtype)), keep, cap)
+        ga = gaf > 0.5
     sx = jnp.where(keep, sx, 0.0)
     sy = jnp.where(keep, sy, 0.0)
     return sx, sy, ga, keep
@@ -325,7 +332,17 @@ def process_frame_planes(state: SlamState, scan_x, scan_y, hit, gyro, cmd,
     sx, sy, sga, skeep = build_scene_planes(scan_x, scan_y, hit, cfg)
     scene = planes_to_cloud(sx, sy, sga, skeep)
     matcher = cfg.icp.matcher
+    if matcher not in ("points", "grid", "fused", "particle"):
+        raise ValueError(f"unknown icp.matcher {matcher!r} "
+                         "(points | grid | fused | particle)")
     if matcher == "fused" and jax.default_backend() != "tpu":
+        matcher = "points"
+    if not incremental_map and matcher in ("grid", "particle"):
+        # these matchers score against the incrementally-maintained map
+        # grid, which graph mode deliberately does not update (targets come
+        # from optimized keyframes only, scan_registration.cpp:185-186) —
+        # register against the graph target instead of silently reading a
+        # stale grid
         matcher = "points"
     if incremental_map and matcher == "grid":
         from slam_tpu.ops.grid_icp import icp_fit_grid, nearest_point_field
@@ -348,9 +365,25 @@ def process_frame_planes(state: SlamState, scan_x, scan_y, hit, gyro, cmd,
             pose=r.pose, ok=r.ok,
             num_corr=jnp.round(r.score * n_valid).astype(jnp.int32),
             delta=jnp.float32(0.0), mean_residual=1.0 - r.score)
-    elif incremental_map and matcher == "fused":
+    elif matcher == "fused":
         from slam_tpu.ops.icp_pallas import fused_register
-        icp = fused_register(sx, sy, skeep, sga, target_planes,
+        tp = target_planes
+        if not incremental_map:
+            # graph-regenerated target: keyframe capture-time GA flags are
+            # stale — re-run the classifyPoints stencil around the current
+            # prediction, exactly as register_scan(reclassify=True) does
+            # (previously graph mode silently downgraded fused to points,
+            # so 2D and 3D graph rollouts ran different matchers for the
+            # same config)
+            from slam_tpu.ops.classify import classify_ga_planes
+            mc = state.map_cloud
+            mpx, mpy = mc.xyz[..., 0], mc.xyz[..., 1]
+            mga = classify_ga_planes(mpx, mpy, mc.valid, pred[:2],
+                                     cfg.icp.ga_num_bins,
+                                     cfg.icp.ga_resolution,
+                                     cfg.icp.ga_threshold)
+            tp = (mpx, mpy, mga, mc.valid)
+        icp = fused_register(sx, sy, skeep, sga, tp,
                              state.map_cloud, pred, cfg.icp)
     else:
         icp = register_scan(scene, state.map_cloud, pred, cfg,
@@ -535,8 +568,16 @@ def rollout_with_graph(state: SlamState, world: World2D, cfg: SlamConfig,
     faster scan/EKF loop."""
 
     def macro(s, _):
+        # re-center the rolling occupancy once per macro (same hoist as
+        # rollout: a dynamic roll per tick was ~15 ms/tick at batch 1024);
+        # the point-map grid is not maintained in graph mode, so only the
+        # local map needs the shift
+        s = s.replace(local_map=shift_origin(s.local_map, s.pose[:2],
+                                             cfg.mls))
+
         def tick(ss, _):
-            ss = slam_step(ss, world, cfg, incremental_map=False)
+            ss = slam_step(ss, world, cfg, incremental_map=False,
+                           shift_maps=False)
             return ss, (ss.pose[:3], ss.true_pose[:3])
         s, traj = jax.lax.scan(tick, s, None, length=graph_every)
         s = graph_update(s, cfg)

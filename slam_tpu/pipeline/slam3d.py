@@ -120,6 +120,21 @@ def build_scene_3d_planes(scan_xyz, hit, cfg: SlamConfig):
     return (ox, oy, oz, oga, odrv_b, okeep), (x, y, z, ground)
 
 
+def _reclassified_target_planes(map_cloud: PointCloud, pred, cfg: SlamConfig):
+    """(mpx, mpy, mga, mvalid) from a graph-regenerated target with ground
+    adjacency re-evaluated around the current prediction (the keyframe
+    capture-time flags go stale after optimization/merging — the class-
+    constrained match would reject valid correspondences)."""
+    from slam_tpu.ops.classify import classify_ga_planes
+
+    mpx = map_cloud.xyz[..., 0]
+    mpy = map_cloud.xyz[..., 1]
+    mga = classify_ga_planes(mpx, mpy, map_cloud.valid, pred[:2],
+                             cfg.icp.ga_num_bins, cfg.icp.ga_resolution,
+                             cfg.icp.ga_threshold)
+    return mpx, mpy, mga, map_cloud.valid
+
+
 def _planes_to_cloud_3d(px, py, pz, ga, drv, valid) -> PointCloud:
     """Pack obstacle planes into the PointCloud container (state carry)."""
     xyz = jnp.stack([px, py, pz], axis=-1)
@@ -148,7 +163,8 @@ def build_scene_3d(scan_xyz, hit, cfg: SlamConfig):
 
 def slam_step_3d(state: SlamState, world: World3D, ground_map: GroundMap,
                  cfg: SlamConfig, refresh_map: bool = True,
-                 shift_maps: bool = True, target_planes=None, field=None):
+                 shift_maps: bool = True, target_planes=None, field=None,
+                 incremental_map: bool = True):
     """One simulated 3D SLAM tick: drive on terrain, sense (the robot tilts
     with the surface), then process the frame. Returns (state, ground_map).
     """
@@ -170,7 +186,8 @@ def slam_step_3d(state: SlamState, world: World3D, ground_map: GroundMap,
     new_state, gm = process_frame_3d(
         state, ground_map, scan_tilted, hit, roll + imu_noise[0],
         pitch + imu_noise[1], gyro, cmd, cfg, refresh_map=refresh_map,
-        shift_maps=shift_maps, target_planes=target_planes, field=field)
+        shift_maps=shift_maps, target_planes=target_planes, field=field,
+        incremental_map=incremental_map)
     return new_state.replace(
         true_pose=jnp.concatenate([true2, true_z[None]]), rng=key), gm
 
@@ -189,7 +206,8 @@ def slam_step_3d_io(state: SlamState, ground_map: GroundMap, scan_tilted,
 def process_frame_3d(state: SlamState, ground_map: GroundMap, scan_tilted,
                      hit, roll, pitch, gyro, cmd, cfg: SlamConfig,
                      refresh_map: bool = True, shift_maps: bool = True,
-                     target_planes=None, field=None):
+                     target_planes=None, field=None,
+                     incremental_map: bool = True):
     """Sensor frame -> updated (state, ground_map): IMU tilt compensation ->
     EKF predict/gyro -> GP-INSAC scene -> registration -> height
     interpolation -> maps. Point data stays planar end to end (see
@@ -201,6 +219,13 @@ def process_frame_3d(state: SlamState, ground_map: GroundMap, scan_tilted,
 
     target_planes: optional (mx, my, mga, mvalid) scan-to-map target planes
     refreshed by the rollout at macro boundaries; None slices state.map_cloud.
+
+    incremental_map: as in the 2D pipeline — False in graph mode, where
+    registration targets come ONLY from the graph-regenerated map_cloud
+    (with GA reclassified around the prediction) and the incremental
+    obstacle grid/cloud are left untouched, so loop-closure corrections
+    actually reach the scan matcher. Ground map and occupancy always update
+    (they are not graph-corrected in the reference either).
     """
     from slam_tpu.geometry import se2_apply_xy
     from slam_tpu.mapping.occupancy import add_to_occupancy_xy2
@@ -231,7 +256,15 @@ def process_frame_3d(state: SlamState, ground_map: GroundMap, scan_tilted,
     # --- segmentation + registration ---
     (ox, oy, oz, oga, odrv, ovalid), (gx, gy, gz, gvalid) = \
         build_scene_3d_planes(scan_xyz, hit, cfg)
-    if cfg.icp.matcher == "grid":
+    matcher = cfg.icp.matcher
+    if matcher not in ("points", "grid", "fused"):
+        raise ValueError(f"unknown 3D icp.matcher {matcher!r} "
+                         "(points | grid | fused; particle is 2D-only)")
+    if not incremental_map and matcher == "grid":
+        # the nearest-centroid field reads the incremental grid, which graph
+        # mode does not maintain — register against the graph target instead
+        matcher = "points"
+    if matcher == "grid":
         from slam_tpu.ops.grid_icp import icp_fit_grid, nearest_point_field
         if field is None:
             field = nearest_point_field(state.map_grid,
@@ -239,15 +272,28 @@ def process_frame_3d(state: SlamState, ground_map: GroundMap, scan_tilted,
                                         cfg.icp.ga_threshold)
         icp = icp_fit_grid(jnp.stack([ox, oy], -1), ovalid, oga, field,
                            pred, cfg.icp)
-    elif cfg.icp.matcher == "fused" and jax.default_backend() == "tpu":
+    elif matcher == "fused" and jax.default_backend() == "tpu":
         from slam_tpu.ops.icp_pallas import fused_register
-        icp = fused_register(ox, oy, ovalid, oga, target_planes,
+        tp = target_planes
+        if not incremental_map:
+            tp = _reclassified_target_planes(state.map_cloud, pred, cfg)
+        icp = fused_register(ox, oy, ovalid, oga, tp,
                              state.map_cloud, pred, cfg.icp)
     else:
         target = crop_box(state.map_cloud, pred[:2], cfg.icp.crop_dist)
-        icp = icp_fit(jnp.stack([ox, oy], -1), ovalid, oga,
-                      target.xyz[..., :2], target.valid, target.is_ga(),
-                      pred, cfg.icp)
+        if not incremental_map:
+            # graph target carries keyframe capture-time GA flags; re-run
+            # the classifyPoints stencil around the prediction like the 2D
+            # register_scan(reclassify=True) path
+            mpx, mpy, mga, mvalid = _reclassified_target_planes(
+                state.map_cloud, pred, cfg)
+            icp = icp_fit(jnp.stack([ox, oy], -1), ovalid, oga,
+                          jnp.stack([mpx, mpy], -1), target.valid & mvalid,
+                          mga, pred, cfg.icp)
+        else:
+            icp = icp_fit(jnp.stack([ox, oy], -1), ovalid, oga,
+                          target.xyz[..., :2], target.valid, target.is_ga(),
+                          pred, cfg.icp)
 
     # --- EKF fuse + height interpolation ---
     from slam_tpu.utils import metrics
@@ -275,25 +321,32 @@ def process_frame_3d(state: SlamState, ground_map: GroundMap, scan_tilted,
         have_map = ground_map.cloud.count() >= cfg.height.min_corr_points
     # bootstrap: empty ground map -> current scan's ground points at the pose
     gwx, gwy = se2_apply_xy(map_pose[:3], gx, gy)
-    gwz = gz + map_pose[3]
-    z_scan = height_interpolate_planes(gwx, gwy, gwz, gvalid, pose4_pre,
-                                       cfg.height)
+    z_scan = height_interpolate_planes(gwx, gwy, gz + map_pose[3], gvalid,
+                                       pose4_pre, cfg.height)
     pose4 = pose4_pre.at[3].set(jnp.where(have_map, new_z, z_scan))
     map_pose = map_pose.at[3].set(pose4[3])
+    # ground z anchors use the UPDATED height like the obstacle points below
+    # — anchoring at the pre-interpolation z made the ground grid (the sole
+    # height reference for the next tick) lag one tick's climb on slopes,
+    # biasing estimated z downhill
+    gwz = gz + map_pose[3]
 
     # --- maps: centroid grids, one matmul scatter each ---
-    owx, owy = se2_apply_xy(map_pose[:3], ox, oy)
-    owz = oz + map_pose[3]
     res = cfg.icp.voxel_leaf_obs[0]
-    mg = shift_point_map(state.map_grid, fused[:2], res) \
-        if shift_maps else state.map_grid
-    mg = update_point_map_xy(mg, owx, owy, owz, ovalid, res,
-                             z_precision=jax.lax.Precision.HIGH)
+    if incremental_map:
+        owx, owy = se2_apply_xy(map_pose[:3], ox, oy)
+        owz = oz + map_pose[3]
+        mg = shift_point_map(state.map_grid, fused[:2], res) \
+            if shift_maps else state.map_grid
+        mg = update_point_map_xy(mg, owx, owy, owz, ovalid, res,
+                                 z_precision=jax.lax.Precision.HIGH)
+    else:
+        mg = state.map_grid  # graph mode: the target is graph-regenerated
     gg = shift_point_map(ground_map.grid, fused[:2], res) \
         if shift_maps else ground_map.grid
     gg = update_point_map_xy(gg, gwx, gwy, gwz, gvalid, res,
                              z_precision=jax.lax.Precision.HIGH)
-    if refresh_map:
+    if refresh_map and incremental_map:
         map_cloud = export_points(mg, state.map_cloud.capacity,
                                   ga_threshold=cfg.icp.ga_threshold,
                                   recall=cfg.cloud.export_recall)
@@ -426,10 +479,21 @@ def rollout_3d_with_graph(state: SlamState, world: World3D,
             gm = GroundMap(grid=gm.grid,
                            cloud=export_points(gm.grid, gm.cloud.capacity,
                                                recall=cfg.cloud.export_recall))
+        # re-center rolling maps once per macro (same hoist as rollout_3d:
+        # three dynamic rolls per tick otherwise); the obstacle point-map
+        # grid is not maintained in graph mode, so only ground + occupancy
+        gm = GroundMap(grid=shift_point_map(gm.grid, s.pose[:2]),
+                       cloud=gm.cloud)
+        s = s.replace(local_map=shift_origin(s.local_map, s.pose[:2],
+                                             cfg.mls))
 
         def tick(c, _):
             ss, g = c
-            ss, g = slam_step_3d(ss, world, g, cfg, refresh_map=False)
+            # incremental_map=False: registration targets come ONLY from
+            # the graph-regenerated map_cloud (loop-closure corrections
+            # reach the matcher), with GA reclassified around the pose
+            ss, g = slam_step_3d(ss, world, g, cfg, refresh_map=False,
+                                 shift_maps=False, incremental_map=False)
             return (ss, g), (ss.pose, ss.true_pose)
 
         (s, gm), traj = jax.lax.scan(tick, (s, gm), None, length=graph_every)

@@ -65,3 +65,32 @@ def test_occupancy_grid_marks_obstacles():
     final, _ = slam2d.rollout(state, world, cfg, 30)
     occupied = int(jnp.sum(final.local_map.drivable == 0))
     assert occupied > 10
+
+
+def test_scene_overflow_compacts_valid_voxels():
+    """A scan longer than scene_capacity must keep the first `capacity`
+    VALID voxel centroids (ICP_MAX_PTS truncation), not crop raw slots —
+    slot order tracks bearing, so a raw crop discarded the back half of
+    the field of view even when few centroids survived."""
+    import dataclasses
+
+    from slam_tpu.pipeline.slam2d import build_scene_planes
+
+    cfg = sim2d_config()
+    cfg = cfg.replace(cloud=dataclasses.replace(cfg.cloud,
+                                                scene_capacity=64))
+    n = 256
+    rng = np.random.RandomState(0)
+    # 40 distinct cells inside the GA grid extent (+-32 m at sim scale),
+    # 1.4 m apart (distinct 0.5 m voxels), spread across ALL slot positions
+    cells = rng.randint(0, 40, n)
+    px = jnp.asarray(((cells - 20) * 1.4 + 0.2).astype(np.float32))
+    py = jnp.asarray(np.zeros(n, np.float32))
+    hit = jnp.ones(n, bool)
+    sx, sy, ga, keep = build_scene_planes(px, py, hit, cfg)
+    assert sx.shape[0] == 64
+    got = np.unique(np.round((np.asarray(sx)[np.asarray(keep)] - 0.2) / 1.4))
+    # every distinct cell fits in capacity and must survive, including the
+    # ones whose first point sits in slots >= capacity
+    assert len(got) == len(np.unique(cells)), (len(got),
+                                               len(np.unique(cells)))
