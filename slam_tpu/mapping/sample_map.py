@@ -29,7 +29,11 @@ class SampleMap(NamedTuple):
 
 
 def init_sample_map(cfg: SampleMapConfig) -> SampleMap:
-    return SampleMap(prob=jnp.zeros((cfg.size_x, cfg.size_y), jnp.float32))
+    # initialize AT the evidence floor (prob is documented in
+    # [prob_min, prob_max]): zeros under a positive prob_min would let the
+    # first add_sample's clip snap the whole untouched grid up to prob_min
+    return SampleMap(prob=jnp.full((cfg.size_x, cfg.size_y), cfg.prob_min,
+                                   jnp.float32))
 
 
 def _cell_centers(cfg: SampleMapConfig):
@@ -85,8 +89,23 @@ def extract_samples(m: SampleMap, cfg: SampleMapConfig,
     neigh = jnp.stack([p[i:i + H, j:j + W]
                        for i in range(3) for j in range(3)
                        if not (i == 1 and j == 1)])
-    is_peak = (norm > cfg.pixel_prob_threshold) & \
-        (norm >= neigh.max(axis=0))
+    cand = (norm > cfg.pixel_prob_threshold) & (norm >= neigh.max(axis=0))
+    # plateau dedup: evidence saturates at prob_max for a repeatedly-
+    # observed sample (add_sample clips), making every plateau cell a
+    # local max under >= — up to max_samples slots then fill with
+    # duplicates of ONE sample, crowding real ones out. Keep only
+    # candidates with no equal-valued candidate at a smaller flat index
+    # among their up-left/up/up-right/left neighbors: one peak per
+    # (convex) plateau, the reference's one-centroid-per-contour
+    # behavior (processMapCV, sample_mapping.cpp:188-239).
+    pc = jnp.pad(cand, 1)
+    shifts = ((0, 0), (0, 1), (0, 2), (1, 0))   # NW, N, NE, W of center
+    tied_smaller = jnp.zeros_like(cand)
+    for i, j in shifts:
+        nb_cand = pc[i:i + H, j:j + W]
+        nb_val = p[i:i + H, j:j + W]
+        tied_smaller |= nb_cand & (nb_val >= norm)
+    is_peak = cand & ~tied_smaller
     score = jnp.where(is_peak, norm, -1.0).reshape(-1)
     vals, idx = jax.lax.top_k(score, max_samples)
     ii = idx // W

@@ -17,11 +17,16 @@ from slam_tpu.types import PointCloud
 
 
 def classify_ga_planes(px, py, valid, center_xy, num_bins: int,
-                       resolution: float, threshold: int = 2):
+                       resolution: float, threshold: int = 2,
+                       with_extent: bool = False):
     """Planar classify_ground_adjacent: x/y planes -> GA plane (N,) bool.
 
     Count raster + 3x3 stencil + one matmul-gather (the stacked version's
-    per-point `ga_bin.reshape(-1)[flat]` gather serializes on TPU)."""
+    per-point `ga_bin.reshape(-1)[flat]` gather serializes on TPU).
+
+    with_extent=True also returns the in-grid-extent mask so callers can
+    preserve capture-time flags for points the grid never classified (the
+    reference `continue`s them, icpTools.cpp:72-77)."""
     from slam_tpu.ops.scatter2d import gather_cells_2d, scatter_add_2d_multi
     from slam_tpu.ops.stencil import neighbor_sum_2d
 
@@ -40,7 +45,8 @@ def classify_ga_planes(px, py, valid, center_xy, num_bins: int,
     ga_pt = gather_cells_2d(ga_bin.astype(jnp.float32)[..., None],
                             jnp.clip(bx, 0, B - 1),
                             jnp.clip(by, 0, B - 1))[:, 0] > 0.5
-    return ga_pt & inb
+    ga = ga_pt & inb
+    return (ga, inb) if with_extent else ga
 
 
 def classify_ground_adjacent(
@@ -55,13 +61,14 @@ def classify_ground_adjacent(
     The reference grid is centered on the world origin with extent
     NUMBINSGA*RESOLUTION (=600 m, icpTools.h:24-25); we center on `center_xy`
     (robot/pose) so a small grid covers the cropped +-75 m working set.
-    Edge bins keep their previous flag (the reference `continue`s and drops
-    edge-bin points, icpTools.cpp:72-77; masking out would lose points, so we
-    classify them NGA — only affects points >=half-extent away).
+    Points beyond the grid extent KEEP their previous flag — the reference
+    `continue`s them without touching the capture-time classification
+    (icpTools.cpp:72-77); only affects points >= half-extent away.
     """
-    ga_pt = classify_ga_planes(cloud.xyz[..., 0], cloud.xyz[..., 1],
-                               cloud.valid, center_xy, num_bins, resolution,
-                               threshold)
-    flags = jnp.where(ga_pt, cloud.flags | PointCloud.FLAG_GA,
-                      cloud.flags & ~PointCloud.FLAG_GA)
+    ga_pt, inb = classify_ga_planes(cloud.xyz[..., 0], cloud.xyz[..., 1],
+                                    cloud.valid, center_xy, num_bins,
+                                    resolution, threshold, with_extent=True)
+    new_flags = jnp.where(ga_pt, cloud.flags | PointCloud.FLAG_GA,
+                          cloud.flags & ~PointCloud.FLAG_GA)
+    flags = jnp.where(inb, new_flags, cloud.flags)
     return cloud.replace(flags=flags)

@@ -60,43 +60,3 @@ def nearest_neighbor(
     return idx, best
 
 
-def nearest_neighbor_tiled(
-    q: jnp.ndarray,
-    m: jnp.ndarray,
-    m_valid: jnp.ndarray,
-    q_class: jnp.ndarray | None = None,
-    m_class: jnp.ndarray | None = None,
-    tile: int = 2048,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Memory-tiled NN for large model sets: scans the model in chunks so the
-    (S, C) distance matrix never materializes beyond (S, tile).
-
-    Semantics identical to nearest_neighbor. Used when C*S would blow VMEM/HBM
-    at the reference's 20k x 20k budget (icpTools.h:21).
-    """
-    C = m.shape[-2]
-    if C <= tile:
-        return nearest_neighbor(q, m, m_valid, q_class, m_class)
-    num_tiles = (C + tile - 1) // tile
-    pad = num_tiles * tile - C
-    m_p = jnp.pad(m, [(0, pad), (0, 0)])
-    mv_p = jnp.pad(m_valid, [(0, pad)])
-    mc_p = jnp.pad(m_class, [(0, pad)]) if m_class is not None else None
-
-    def body(carry, t):
-        best_d, best_i = carry
-        sl = t * tile
-        mt = jax.lax.dynamic_slice_in_dim(m_p, sl, tile, axis=0)
-        vt = jax.lax.dynamic_slice_in_dim(mv_p, sl, tile, axis=0)
-        ct = (jax.lax.dynamic_slice_in_dim(mc_p, sl, tile, axis=0)
-              if mc_p is not None else None)
-        idx_t, d_t = nearest_neighbor(q, mt, vt, q_class, ct)
-        take = d_t < best_d
-        best_d = jnp.where(take, d_t, best_d)
-        best_i = jnp.where(take, idx_t + sl, best_i)
-        return (best_d, best_i), None
-
-    init = (jnp.full(q.shape[:-1], BIG, jnp.float32),
-            jnp.zeros(q.shape[:-1], jnp.int32))
-    (best_d, best_i), _ = jax.lax.scan(body, init, jnp.arange(num_tiles))
-    return best_i, best_d

@@ -138,8 +138,20 @@ def on_tpu() -> bool:
 
 
 def nearest_neighbor(q, m, m_valid, q_class=None, m_class=None):
-    """Backend-dispatching NN: Pallas on TPU, jnp elsewhere."""
+    """Backend-dispatching NN: Pallas on TPU, jnp elsewhere.
+
+    The TPU kernel is 2D-only; higher-D inputs raise LOUDLY here rather
+    than silently matching on x/y alone while the jnp fallback uses all
+    coordinates (backend-dependent correspondences). The class constraint
+    needs BOTH class planes (the jnp path applies it only then); one-sided
+    classes are normalized to unconstrained on both backends."""
+    if q_class is None or m_class is None:
+        q_class = m_class = None
     if on_tpu():
+        if q.shape[-1] != 2 or m.shape[-1] != 2:
+            raise ValueError(
+                f"TPU NN kernel is 2D-only (got q D={q.shape[-1]}, "
+                f"m D={m.shape[-1]}); use ops.nn.nearest_neighbor for 3D")
         if q_class is None:
             q_class = jnp.zeros(q.shape[:-1], jnp.int32)
             m_class = jnp.zeros(m.shape[:-1], jnp.int32)

@@ -81,3 +81,41 @@ def test_yaml_parse():
     assert len(cams) == 1
     np.testing.assert_allclose(np.asarray(cams[0].P())[0, 0], 11162.85801)
     np.testing.assert_allclose(np.asarray(cams[0].T())[3], [0, 0, 0, 1])
+
+
+def test_saturated_sample_yields_one_peak():
+    """Evidence saturates at prob_max for a stared-at sample (add_sample
+    clips), turning its whole plateau into equal-valued local maxima —
+    extraction must dedup to ONE peak per sample, not fill every slot with
+    duplicates that crowd out weaker real samples (the reference returns
+    one contour centroid per blob, sample_mapping.cpp:188-239)."""
+    from slam_tpu.mapping.sample_map import init_sample_map
+
+    cfg = cfg_small()
+    m = init_sample_map(cfg)
+    for _ in range(8):  # saturate a plateau at (5, 0)
+        m = add_sample(m, jnp.array([5.0, 0.0]), 1.5, 1.0, cfg)
+    # one weaker (but above-threshold) real sample
+    m = add_sample(m, jnp.array([-10.0, -10.0]), 1.5, 1.0, cfg)
+    m = add_sample(m, jnp.array([-10.0, -10.0]), 1.5, 1.0, cfg)
+    peaks = extract_samples(m, cfg, max_samples=8)
+    v = np.asarray(peaks.valid)
+    xy = np.asarray(peaks.xy)[v]
+    near_sat = np.linalg.norm(xy - np.array([5.0, 0.0]), axis=-1) < 2.0
+    assert near_sat.sum() == 1, xy  # one peak for the saturated sample
+    near_weak = np.linalg.norm(xy - np.array([-10.0, -10.0]), axis=-1) < 2.0
+    assert near_weak.sum() == 1, xy  # the weak sample survives
+
+
+def test_init_respects_prob_min_floor():
+    import dataclasses
+
+    from slam_tpu.mapping.sample_map import init_sample_map
+
+    cfg = dataclasses.replace(cfg_small(), prob_min=0.1)
+    m = init_sample_map(cfg)
+    np.testing.assert_allclose(np.asarray(m.prob), 0.1)
+    # first add_sample must not raise untouched cells above the floor
+    m2 = add_sample(m, jnp.array([0.0, 0.0]), 1.5, 1.0, cfg)
+    far = np.asarray(m2.prob)[:10, :10]
+    np.testing.assert_allclose(far, 0.1, atol=1e-6)
