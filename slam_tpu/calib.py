@@ -74,32 +74,49 @@ def camera_to_pixel(cam: CameraParams, xyz: jnp.ndarray) -> jnp.ndarray:
     return p[..., :2] / p[..., 2:3]
 
 
-def pixel_to_ray(cam: CameraParams, uv: jnp.ndarray) -> jnp.ndarray:
-    """Pixel uv -> unit ray in camera frame via the projection-matrix left
-    inverse (camerauv_to_cameraray, :92-106)."""
+def camera_center(cam: CameraParams) -> jnp.ndarray:
+    """Projection center in the camera frame: C = -M^-1 P[:, 3] with
+    M = P[:, :3]. Zero for the reference camera (its P has no fourth
+    column); nonzero for e.g. a stereo-rig right camera."""
     P = cam.P()
-    fx, fy = P[0, 0], P[1, 1]
-    cx, cy = P[0, 2], P[1, 2]
-    x = (uv[..., 0] - cx) / fx
-    y = (uv[..., 1] - cy) / fy
-    ray = jnp.stack([x, y, jnp.ones_like(x)], axis=-1)
+    return -jnp.linalg.solve(P[:, :3], P[:, 3])
+
+
+def pixel_to_ray(cam: CameraParams, uv: jnp.ndarray) -> jnp.ndarray:
+    """Pixel uv -> unit ray in camera frame via the TRUE projection-matrix
+    left inverse dir = M^-1 [u, v, 1] (camerauv_to_cameraray, :92-106):
+    honors skew (P[0,1]) and any nonzero fourth column; reduces exactly to
+    the fx/fy/cx/cy form for the reference camera. The ray passes through
+    camera_center(cam), not necessarily the frame origin."""
+    P = cam.P()
+    Minv = jnp.linalg.inv(P[:, :3])
+    h = jnp.stack([uv[..., 0], uv[..., 1], jnp.ones_like(uv[..., 0])], -1)
+    ray = jnp.einsum("ij,...j->...i", Minv, h)
     return ray / jnp.linalg.norm(ray, axis=-1, keepdims=True)
 
 
 def ray_to_flat_ground(cam: CameraParams, ray: jnp.ndarray,
                        ground_height: float) -> jnp.ndarray:
-    """Intersect a camera ray with the lidar-frame plane z = ground_height and
-    return the lidar-frame point (cameraray_to_rangeflatground, :109-139)."""
+    """Intersect a camera ray (through camera_center) with the lidar-frame
+    plane z = ground_height; returns the lidar-frame point
+    (cameraray_to_rangeflatground, :109-139).
+
+    Rays at/above the horizon (parallel to the plane, or intersecting
+    BEHIND the camera) return NaN — loud, so a consumer can't ingest a
+    point at infinity or behind the robot as a valid landmark."""
     r1 = jnp.array([0.0, 1.0, ground_height])
     r2 = jnp.array([0.0, -1.0, ground_height])
     r3 = jnp.array([-1.0, 0.0, ground_height])
     c1, c2, c3 = (lidar_to_camera(cam, r) for r in (r1, r2, r3))
     n = jnp.cross(c3 - c1, c3 - c2)
-    d = jnp.dot(c1, n) / jnp.einsum("...i,i->...", ray, n)
-    cp = d[..., None] * ray
+    C = camera_center(cam)
+    denom = jnp.einsum("...i,i->...", ray, n)
+    d = jnp.dot(c1 - C, n) / jnp.where(jnp.abs(denom) < 1e-9, 1.0, denom)
+    ok = (jnp.abs(denom) >= 1e-9) & (d > 0.0)
+    cp = C + d[..., None] * ray
     h = jnp.concatenate([cp, jnp.ones(cp.shape[:-1] + (1,), cp.dtype)], -1)
     rp = jnp.einsum("ij,...j->...i", cam.T(), h)
-    return rp[..., :3]
+    return jnp.where(ok[..., None], rp[..., :3], jnp.nan)
 
 
 def pixel_to_global(cam: CameraParams, uv: jnp.ndarray, pose4: jnp.ndarray,

@@ -29,6 +29,11 @@ def make_mesh(n_devices: int | None = None, sp: int = 1,
         devices = jax.devices()
     if n_devices is None:
         n_devices = len(devices)
+    if n_devices % sp != 0:
+        raise ValueError(
+            f"n_devices={n_devices} must be divisible by sp={sp} "
+            "(the (dp, sp) mesh is a full factorization — a floor division "
+            "would silently drop devices)")
     devices = np.asarray(devices[:n_devices]).reshape(n_devices // sp, sp)
     return Mesh(devices, axis_names=("dp", "sp"))
 

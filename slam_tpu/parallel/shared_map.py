@@ -20,10 +20,20 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from slam_tpu.mapping.point_map import PointMapGrid
 
 
+def _alignment_guard(grids: PointMapGrid):
+    """1.0 when every robot's grid shares robot 0's center, NaN otherwise:
+    summing cell accumulators of grids covering DIFFERENT world regions is
+    silently-corrupt data (e.g. a caller that forgot shift_maps=False), so
+    a misaligned merge poisons the output loudly instead."""
+    aligned = jnp.all(grids.center == grids.center[0])
+    return jnp.where(aligned, 1.0, jnp.nan)
+
+
 def merge_maps(grids: PointMapGrid) -> PointMapGrid:
     """Merge a batch of world-aligned grids (leading batch axis) into one."""
+    g = _alignment_guard(grids)
     return PointMapGrid(
-        count=jnp.sum(grids.count, axis=0),
+        count=g * jnp.sum(grids.count, axis=0),
         sum_x=jnp.sum(grids.sum_x, axis=0),
         sum_y=jnp.sum(grids.sum_y, axis=0),
         sum_z=jnp.sum(grids.sum_z, axis=0),
@@ -56,7 +66,8 @@ def make_shared_map_merger(mesh: Mesh):
     @jax.jit
     def merge(grids: PointMapGrid) -> PointMapGrid:
         c, sx, sy, sz = sm(grids.count, grids.sum_x, grids.sum_y, grids.sum_z)
-        return PointMapGrid(count=c, sum_x=sx, sum_y=sy, sum_z=sz,
+        return PointMapGrid(count=_alignment_guard(grids) * c,
+                            sum_x=sx, sum_y=sy, sum_z=sz,
                             center=grids.center[0],
                             resolution=grids.resolution)
 

@@ -23,17 +23,27 @@ class World2D(NamedTuple):
     extent: jnp.ndarray   # () half-extent of square arena
 
 
+def place_obstacles(k_pos, k_rad, cfg: SimConfig):
+    """Random obstacle centers/radii, pushed out of the robot's ~8 m spawn
+    disk — the one placement scheme both world fixtures share (world3d adds
+    heights on top)."""
+    M = cfg.num_obstacles
+    pos = jax.random.uniform(k_pos, (M, 2), minval=-cfg.world_extent * 0.9,
+                             maxval=cfg.world_extent * 0.9)
+    r = jnp.linalg.norm(pos, axis=-1)
+    pos = jnp.where((r < 8.0)[:, None], pos * (8.0 / (r[:, None] + 1e-6)),
+                    pos)
+    radii = jax.random.uniform(k_rad, (M,), minval=cfg.obstacle_radius_min,
+                               maxval=cfg.obstacle_radius_max)
+    return pos, radii
+
+
 def make_world(key: jnp.ndarray, cfg: SimConfig) -> World2D:
     """Random circular obstacles, kept out of a spawn disk around the origin."""
+    # k3 is unused but kept: dropping the 3-way split would change the
+    # k1/k2 streams and thereby every committed fixture/benchmark world
     k1, k2, k3 = jax.random.split(key, 3)
-    M = cfg.num_obstacles
-    pos = jax.random.uniform(k1, (M, 2), minval=-cfg.world_extent * 0.9,
-                             maxval=cfg.world_extent * 0.9)
-    # push obstacles out of the robot's spawn/driving annulus
-    r = jnp.linalg.norm(pos, axis=-1)
-    pos = jnp.where((r < 8.0)[:, None], pos * (8.0 / (r[:, None] + 1e-6)), pos)
-    radii = jax.random.uniform(k2, (M,), minval=cfg.obstacle_radius_min,
-                               maxval=cfg.obstacle_radius_max)
+    pos, radii = place_obstacles(k1, k2, cfg)
     return World2D(centers=pos, radii=radii,
                    extent=jnp.asarray(cfg.world_extent))
 
@@ -82,11 +92,14 @@ def raycast(world: World2D, pose: jnp.ndarray, cfg: SimConfig,
     return t, hit
 
 
-def scan_to_points(ranges: jnp.ndarray, hit: jnp.ndarray, cfg: SimConfig,
+def scan_to_points(ranges: jnp.ndarray, hit: jnp.ndarray, cfg=None,
                    yaw: jnp.ndarray | None = None):
     """Ranges -> (N, 3) points. In the sensor frame if yaw is None, else
     rotated to world orientation (the scan_registration roll/pitch-compensated,
-    yaw-kept convention collapses to a pure yaw rotation in 2D)."""
+    yaw-kept convention collapses to a pure yaw rotation in 2D).
+
+    cfg is accepted for backward compatibility but unused (the beam count
+    comes from the ranges shape)."""
     B = ranges.shape[-1]
     rel = jnp.arange(B) * (2 * jnp.pi / B)
     ang = rel if yaw is None else yaw + rel

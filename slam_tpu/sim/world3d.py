@@ -35,13 +35,9 @@ def terrain_height(world: World3D, xy: jnp.ndarray) -> jnp.ndarray:
 def make_world(key: jnp.ndarray, cfg: SimConfig, terrain_amp: float = 0.6,
                num_waves: int = 4) -> World3D:
     k1, k2, k3, k4 = jax.random.split(key, 4)
+    from slam_tpu.sim.world2d import place_obstacles
+    pos, radii = place_obstacles(k1, k2, cfg)
     M = cfg.num_obstacles
-    pos = jax.random.uniform(k1, (M, 2), minval=-cfg.world_extent * 0.9,
-                             maxval=cfg.world_extent * 0.9)
-    r = jnp.linalg.norm(pos, axis=-1)
-    pos = jnp.where((r < 8.0)[:, None], pos * (8.0 / (r[:, None] + 1e-6)), pos)
-    radii = jax.random.uniform(k2, (M,), minval=cfg.obstacle_radius_min,
-                               maxval=cfg.obstacle_radius_max)
     heights = jax.random.uniform(k3, (M,), minval=0.5, maxval=3.0)
     freq = jax.random.uniform(k4, (num_waves, 2), minval=0.02, maxval=0.08)
     phase = jnp.linspace(0, 3.0, num_waves)[:, None]
@@ -89,7 +85,8 @@ def raycast(world: World3D, pose_xyyaw: jnp.ndarray, cfg: SimConfig,
     o = jnp.stack([x, y, terrain_height(world, jnp.stack([x, y]))
                    + cfg.sensor_height])
     d_local = ray_directions(cfg, jnp.zeros_like(yaw))  # sensor-frame output
-    # world dirs: yaw is baked into ray_directions; tilt applied on top
+    # world dirs: d_local is the UNROTATED scan pattern (sensor frame);
+    # yaw AND tilt are applied together here through rot3_from_rpy
     roll = jnp.asarray(roll)
     Rt = rot3_from_rpy(roll, jnp.asarray(pitch), yaw)
     d = jnp.einsum("ij,nj->ni", Rt, d_local)

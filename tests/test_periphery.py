@@ -119,3 +119,22 @@ def test_init_respects_prob_min_floor():
     m2 = add_sample(m, jnp.array([0.0, 0.0]), 1.5, 1.0, cfg)
     far = np.asarray(m2.prob)[:10, :10]
     np.testing.assert_allclose(far, 0.1, atol=1e-6)
+
+
+def test_horizon_pixel_returns_nan_not_garbage():
+    """A pixel at/above the horizon has no ground intersection in front of
+    the camera: the chain must return NaN (loud), not a point at ~infinity
+    or behind the robot."""
+    from slam_tpu.calib import (REFERENCE_CAMERA, pixel_to_global,
+                                pixel_to_ray, ray_to_flat_ground)
+
+    cam = REFERENCE_CAMERA
+    # a pixel far above the principal point looks upward for this mount
+    up_uv = jnp.array([1938.0, -200000.0])
+    ray = pixel_to_ray(cam, up_uv)
+    pt = ray_to_flat_ground(cam, ray, -1.3)
+    assert not bool(jnp.isfinite(pt).all()), np.asarray(pt)
+    # ...and a normal downward pixel still lands on finite ground
+    down = pixel_to_global(cam, jnp.array([1938.0, 2600.0]),
+                           jnp.zeros(4))
+    assert bool(jnp.isfinite(down).all()), np.asarray(down)
