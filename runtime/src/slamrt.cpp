@@ -2,12 +2,14 @@
 
 #include "slamrt.h"
 
+#include <algorithm>
 #include <atomic>
 #include <chrono>
 #include <cmath>
 #include <cstdio>
 #include <cstring>
 #include <fstream>
+#include <memory>
 #include <mutex>
 #include <string>
 #include <thread>
@@ -29,8 +31,13 @@ struct slamrt_ring {
   uint32_t slots;
   uint64_t frame_floats;
   std::vector<float> data;          // slots * frame_floats
-  std::vector<uint64_t> seq;        // per-slot sequence id
-  std::vector<uint64_t> t_ns;       // per-slot timestamp
+  // per-slot sequence (seqlock): 0 = empty/being-rewritten, else head+1 at
+  // publish time. Atomic: the consumer validates a slot's seq before AND
+  // after its copy so a drop_oldest overwrite can never hand out a torn
+  // frame (the old code raced: producer overwrote the slot the consumer
+  // was memcpy-ing, and both sides blind-stored `tail`)
+  std::unique_ptr<std::atomic<uint64_t>[]> seq;
+  std::unique_ptr<std::atomic<uint64_t>[]> t_ns;
   std::atomic<uint64_t> head{0};    // next write position (monotonic)
   std::atomic<uint64_t> tail{0};    // next read position (monotonic)
   std::atomic<uint64_t> published{0};
@@ -45,15 +52,19 @@ slamrt_ring* slamrt_ring_create(uint32_t slots, uint64_t frame_floats) {
   r->slots = slots;
   r->frame_floats = frame_floats;
   r->data.resize(static_cast<size_t>(slots) * frame_floats);
-  r->seq.assign(slots, 0);
-  r->t_ns.assign(slots, 0);
+  r->seq.reset(new std::atomic<uint64_t>[slots]);
+  r->t_ns.reset(new std::atomic<uint64_t>[slots]);
+  for (uint32_t i = 0; i < slots; ++i) {
+    r->seq[i].store(0, std::memory_order_relaxed);
+    r->t_ns[i].store(0, std::memory_order_relaxed);
+  }
   return r;
 }
 
 void slamrt_ring_destroy(slamrt_ring* r) { delete r; }
 
 float* slamrt_ring_acquire(slamrt_ring* r, int drop_oldest) {
-  r->producer_mu.lock();  // released in publish
+  r->producer_mu.lock();  // released in publish (or abort)
   uint64_t head = r->head.load(std::memory_order_relaxed);
   uint64_t tail = r->tail.load(std::memory_order_acquire);
   if (head - tail >= r->slots) {
@@ -61,38 +72,62 @@ float* slamrt_ring_acquire(slamrt_ring* r, int drop_oldest) {
       r->producer_mu.unlock();
       return nullptr;
     }
-    // overwrite the oldest unread frame
-    r->tail.store(tail + 1, std::memory_order_release);
-    r->dropped.fetch_add(1, std::memory_order_relaxed);
+    // overwrite the oldest unread frame. CAS: if the consumer advanced
+    // tail concurrently there is room now and nothing was dropped
+    if (r->tail.compare_exchange_strong(tail, tail + 1,
+                                        std::memory_order_acq_rel))
+      r->dropped.fetch_add(1, std::memory_order_relaxed);
   }
+  uint32_t slot = head % r->slots;
+  // invalidate the slot BEFORE its data is rewritten: a concurrent pop of
+  // this slot sees seq != tail+1 and retries at the advanced tail
+  r->seq[slot].store(0, std::memory_order_release);
   r->pending_write = head;
   r->has_pending = true;
-  return &r->data[(head % r->slots) * r->frame_floats];
+  return &r->data[static_cast<size_t>(slot) * r->frame_floats];
 }
 
 void slamrt_ring_publish(slamrt_ring* r, uint64_t t) {
   if (!r->has_pending) return;
   uint64_t head = r->pending_write;
   uint32_t slot = head % r->slots;
-  r->seq[slot] = head + 1;
-  r->t_ns[slot] = t ? t : now_ns();
+  r->t_ns[slot].store(t ? t : now_ns(), std::memory_order_relaxed);
+  r->seq[slot].store(head + 1, std::memory_order_release);
   r->head.store(head + 1, std::memory_order_release);
   r->published.fetch_add(1, std::memory_order_relaxed);
   r->has_pending = false;
   r->producer_mu.unlock();
 }
 
+void slamrt_ring_abort(slamrt_ring* r) {
+  // producer-side bail-out between acquire and publish (e.g. the caller's
+  // frame copy failed): releases the mutex WITHOUT publishing, so a raised
+  // exception in the producer can't deadlock every later push
+  if (!r->has_pending) return;
+  r->has_pending = false;
+  r->producer_mu.unlock();
+}
+
 uint64_t slamrt_ring_pop(slamrt_ring* r, float* dst, uint64_t* t_out) {
-  uint64_t tail = r->tail.load(std::memory_order_relaxed);
-  uint64_t head = r->head.load(std::memory_order_acquire);
-  if (tail >= head) return 0;
-  uint32_t slot = tail % r->slots;
-  std::memcpy(dst, &r->data[static_cast<size_t>(slot) * r->frame_floats],
-              r->frame_floats * sizeof(float));
-  uint64_t s = r->seq[slot];
-  if (t_out) *t_out = r->t_ns[slot];
-  r->tail.store(tail + 1, std::memory_order_release);
-  return s;
+  for (;;) {
+    uint64_t tail = r->tail.load(std::memory_order_acquire);
+    uint64_t head = r->head.load(std::memory_order_acquire);
+    if (tail >= head) return 0;
+    uint32_t slot = tail % r->slots;
+    uint64_t s0 = r->seq[slot].load(std::memory_order_acquire);
+    if (s0 != tail + 1) continue;  // dropped/being rewritten: fresh tail
+    std::memcpy(dst, &r->data[static_cast<size_t>(slot) * r->frame_floats],
+                r->frame_floats * sizeof(float));
+    uint64_t t = r->t_ns[slot].load(std::memory_order_relaxed);
+    std::atomic_thread_fence(std::memory_order_acquire);
+    if (r->seq[slot].load(std::memory_order_acquire) != s0)
+      continue;                    // torn: producer rewrote mid-copy
+    if (!r->tail.compare_exchange_strong(tail, tail + 1,
+                                         std::memory_order_acq_rel))
+      continue;                    // producer dropped this slot first
+    if (t_out) *t_out = t;
+    return s0;
+  }
 }
 
 uint64_t slamrt_ring_published(const slamrt_ring* r) {
@@ -118,6 +153,7 @@ struct slamrt_loader {
   std::string path;  // empty => synthetic
   std::atomic<uint64_t> produced{0};
   std::atomic<bool> running{false};
+  std::atomic<int> error{0};  // 1 = replay file could not be opened
   std::vector<std::thread> threads;
 };
 
@@ -150,7 +186,12 @@ namespace {
 
 void replay_worker(slamrt_loader* l) {
   std::ifstream f(l->path, std::ios::binary);
-  if (!f) return;
+  if (!f) {
+    // surfaced via slamrt_loader_error: a typo'd path must not present as
+    // a silently-empty ring the consumer waits on forever
+    l->error.store(1, std::memory_order_release);
+    return;
+  }
   const uint64_t bytes = l->frame_floats * sizeof(float);
   std::vector<char> buf(bytes);
   auto period = l->rate_hz > 0
@@ -158,13 +199,18 @@ void replay_worker(slamrt_loader* l) {
                           static_cast<uint64_t>(1e9 / l->rate_hz))
                     : std::chrono::nanoseconds(0);
   auto next = std::chrono::steady_clock::now();
+  bool read_any = false;
   while (l->running.load(std::memory_order_relaxed)) {
     if (!f.read(buf.data(), bytes)) {
       if (!l->loop) break;
+      if (!read_any)  // file shorter than one frame: don't busy-spin a core
+        std::this_thread::sleep_for(std::chrono::milliseconds(1));
+      read_any = false;
       f.clear();
       f.seekg(0);
       continue;
     }
+    read_any = true;
     float* slot = slamrt_ring_acquire(l->ring, /*drop_oldest=*/1);
     std::memcpy(slot, buf.data(), bytes);
     slamrt_ring_publish(l->ring, 0);
@@ -239,6 +285,10 @@ uint64_t slamrt_loader_produced(const slamrt_loader* l) {
   return l->produced.load(std::memory_order_relaxed);
 }
 
+int slamrt_loader_error(const slamrt_loader* l) {
+  return l->error.load(std::memory_order_acquire);
+}
+
 // ---------- profiler ----------
 
 struct ProfEntry {
@@ -289,6 +339,9 @@ int32_t slamrt_prof_begin(slamrt_prof* p, const char* name) {
 }
 
 void slamrt_prof_end(slamrt_prof* p, int32_t id) {
+  // id < 0 = begin() overflowed the name table and pushed nothing: the
+  // unwind loop below would otherwise drain (and lose) every open scope
+  if (id < 0) return;
   uint64_t t1 = now_ns();
   while (!g_prof_stack.empty()) {
     auto [open_id, t0] = g_prof_stack.back();
@@ -331,10 +384,15 @@ uint64_t slamrt_prof_report(const slamrt_prof* p, char* buf, uint64_t cap) {
     const auto& e = p->entries[i];
     uint64_t c = e.calls.load(std::memory_order_relaxed);
     double tot = e.total_ns.load(std::memory_order_relaxed) / 1e3;
-    off += std::snprintf(buf + off, cap - off,
-                         "%-32s calls=%8llu total=%12.1fus avg=%10.2fus\n",
-                         e.name.c_str(), static_cast<unsigned long long>(c),
-                         tot, c ? tot / c : 0.0);
+    int ret = std::snprintf(buf + off, cap - off,
+                            "%-32s calls=%8llu total=%12.1fus avg=%10.2fus\n",
+                            e.name.c_str(),
+                            static_cast<unsigned long long>(c), tot,
+                            c ? tot / c : 0.0);
+    if (ret < 0) break;
+    // snprintf returns the WOULD-BE length on truncation; advancing by it
+    // would report bytes past what was written (even past cap)
+    off += std::min<uint64_t>(static_cast<uint64_t>(ret), cap - off - 1);
   }
   return off;
 }

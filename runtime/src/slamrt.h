@@ -34,6 +34,9 @@ void slamrt_ring_destroy(slamrt_ring* r);
 float* slamrt_ring_acquire(slamrt_ring* r, int drop_oldest);
 // Publish the acquired slot with a timestamp (nanoseconds).
 void slamrt_ring_publish(slamrt_ring* r, uint64_t t_ns);
+// Abandon an acquired-but-unpublished slot (producer-side error recovery:
+// releases the producer lock without publishing).
+void slamrt_ring_abort(slamrt_ring* r);
 
 // Consumer: pop the next frame into `dst` (frame_floats floats). Returns the
 // sequence id (>=1) or 0 if no frame is available. Copies out so the slot is
@@ -68,6 +71,9 @@ void slamrt_loader_start(slamrt_loader* l);
 void slamrt_loader_stop(slamrt_loader* l);
 void slamrt_loader_destroy(slamrt_loader* l);
 uint64_t slamrt_loader_produced(const slamrt_loader* l);
+// 1 when a replay worker failed to open its file (surfaced so a typo'd
+// path doesn't present as a silently-empty ring), else 0.
+int slamrt_loader_error(const slamrt_loader* l);
 
 // ---------- scoped microsecond profiler ----------
 

@@ -40,6 +40,7 @@ def lib() -> C.CDLL:
         L.slamrt_ring_acquire.restype = C.POINTER(C.c_float)
         L.slamrt_ring_acquire.argtypes = [C.c_void_p, C.c_int]
         L.slamrt_ring_publish.argtypes = [C.c_void_p, C.c_uint64]
+        L.slamrt_ring_abort.argtypes = [C.c_void_p]
         L.slamrt_ring_pop.restype = C.c_uint64
         L.slamrt_ring_pop.argtypes = [C.c_void_p, C.POINTER(C.c_float),
                                       C.POINTER(C.c_uint64)]
@@ -59,6 +60,8 @@ def lib() -> C.CDLL:
             getattr(L, f"slamrt_loader_{f}").argtypes = [C.c_void_p]
         L.slamrt_loader_produced.restype = C.c_uint64
         L.slamrt_loader_produced.argtypes = [C.c_void_p]
+        L.slamrt_loader_error.restype = C.c_int
+        L.slamrt_loader_error.argtypes = [C.c_void_p]
         L.slamrt_prof_create.restype = C.c_void_p
         L.slamrt_prof_destroy.argtypes = [C.c_void_p]
         L.slamrt_prof_begin.restype = C.c_int32
@@ -85,11 +88,22 @@ class FrameRing:
         self._scratch = np.empty(self._floats, np.float32)
 
     def push(self, frame: np.ndarray, drop_oldest: bool = True) -> bool:
+        # validate BEFORE acquire and abort on copy failure: acquire holds
+        # the C-side producer mutex until publish, so raising between the
+        # two would deadlock every later push and loader thread
+        arr = np.asarray(frame, np.float32).ravel()
+        if arr.size != self._floats:
+            raise ValueError(f"frame has {arr.size} floats, ring expects "
+                             f"{self._floats} (shape {self._shape})")
         ptr = lib().slamrt_ring_acquire(self._r, int(drop_oldest))
         if not ptr:
             return False
-        buf = np.ctypeslib.as_array(ptr, shape=(self._floats,))
-        buf[:] = np.asarray(frame, np.float32).ravel()
+        try:
+            buf = np.ctypeslib.as_array(ptr, shape=(self._floats,))
+            buf[:] = arr
+        except Exception:
+            lib().slamrt_ring_abort(self._r)
+            raise
         lib().slamrt_ring_publish(self._r, 0)
         return True
 
@@ -128,7 +142,17 @@ class ScanLoader:
     def __init__(self, ring: FrameRing, path: str | None = None,
                  seed: int = 0, rate_hz: float = 0.0, loop: bool = True,
                  num_threads: int = 2):
+        # hold the ring: the loader threads write into its C buffer, so the
+        # FrameRing must outlive this loader (a temporary passed in would
+        # otherwise be finalized immediately — use-after-free in C)
+        self._ring = ring
         if path is not None:
+            if not os.path.exists(path):
+                raise FileNotFoundError(f"replay file not found: {path}")
+            if os.path.getsize(path) < ring._floats * 4:
+                raise ValueError(
+                    f"replay file {path} is smaller than one "
+                    f"{ring._floats}-float frame")
             self._l = lib().slamrt_loader_create_replay(
                 ring._r, path.encode(), ring._floats, int(loop), rate_hz)
         else:
@@ -137,6 +161,11 @@ class ScanLoader:
 
     def start(self):
         lib().slamrt_loader_start(self._l)
+
+    @property
+    def error(self) -> bool:
+        """True when a replay worker failed to open its file."""
+        return bool(lib().slamrt_loader_error(self._l))
 
     def stop(self):
         lib().slamrt_loader_stop(self._l)

@@ -88,5 +88,9 @@ def restore(path: str, like: Any) -> Any:
             f"checkpoint at {npz_file} has {len(npz.files)} leaves, template "
             f"has {len(leaves_t)} — state schema changed since this "
             "checkpoint was written")
-    leaves = [npz[f"leaf_{i}"] for i in range(len(leaves_t))]
+    # cast to the template's leaf dtypes like the orbax branch: an npz
+    # written under different precision settings (e.g. x64) would otherwise
+    # restore leaves whose dtypes differ from what the jitted step traced
+    leaves = [npz[f"leaf_{i}"].astype(np.asarray(t).dtype)
+              for i, t in enumerate(leaves_t)]
     return jax.tree.unflatten(treedef, leaves)

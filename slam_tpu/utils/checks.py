@@ -20,12 +20,19 @@ def donation_reused(jitted_fn, *args, donate_index: int = 0) -> bool:
     output rather than allocating a fresh buffer.
 
     The function must have been jitted with donate_argnums including
-    donate_index. Detection: a donated jax.Array is deleted by the call."""
-    leaves_in = jax.tree.leaves(args[donate_index])
+    donate_index. Detection: a donated jax.Array is deleted by the call.
+    Raises when the donated argument contains no jax.Array leaves at all
+    (e.g. raw numpy inputs) — nothing could have been donated, so a
+    vacuous True would defeat the HBM-doubling regression check."""
+    leaves_in = [x for x in jax.tree.leaves(args[donate_index])
+                 if isinstance(x, jax.Array)]
+    if not leaves_in:
+        raise ValueError(
+            "argument %d has no jax.Array leaves — device_put it first; "
+            "donation of host arrays is undefined" % donate_index)
     out = jitted_fn(*args)
     jax.block_until_ready(out)
-    return all(x.is_deleted() for x in leaves_in
-               if isinstance(x, jax.Array))
+    return all(x.is_deleted() for x in leaves_in)
 
 
 def assert_donation(jitted_fn, *args, donate_index: int = 0) -> None:

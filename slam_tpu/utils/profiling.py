@@ -4,15 +4,14 @@ The reference's instrumentation was ad-hoc wall-clock CSVs
 (pointcloud_filter.cpp:288,348) and ROS log streams. Here:
   - `stage(name)`: jax.named_scope wrapper so XLA profiles attribute time to
     pipeline stages (segmentation, icp, ekf, grids, graph)
-  - `trace(dir)`: context manager around jax.profiler for device traces
+  - `trace(dir)`: device-trace context manager (jax.profiler.trace)
   - `Throughput`: steps/sec + robot-steps/sec counters for benches
-  - host-side scoped wall timing delegates to the native runtime profiler
-    (slam_tpu.runtime.native.Profiler) when the .so is built
+  - host-side scoped wall timing lives in the native runtime profiler
+    (slam_tpu.runtime.native.Profiler — a separate, explicit API)
 """
 
 from __future__ import annotations
 
-import contextlib
 import time
 
 import jax
@@ -23,13 +22,10 @@ def stage(name: str):
     return jax.named_scope(name)
 
 
-@contextlib.contextmanager
 def trace(log_dir: str):
-    jax.profiler.start_trace(log_dir)
-    try:
-        yield
-    finally:
-        jax.profiler.stop_trace()
+    """Device-trace context manager — jax.profiler.trace itself (kept as a
+    named alias so call sites read as slam_tpu API)."""
+    return jax.profiler.trace(log_dir)
 
 
 class Throughput:

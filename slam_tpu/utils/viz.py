@@ -124,5 +124,4 @@ def render_grid(path: str, grid: np.ndarray, center=None, title="") -> None:
     ax.imshow(np.swapaxes(img, 0, 1), origin="lower")
     ax.set_title(title)
     fig.savefig(path, dpi=120, bbox_inches="tight")
-    plt = _plt()
     plt.close(fig)
