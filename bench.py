@@ -42,7 +42,15 @@ import jax
 import jax.numpy as jnp
 
 
-def _timed_rate(run_block, states, batch, steps, repeats):
+def _round_steps(steps, field_every=4):
+    """Rollouts round num_steps UP to a field_every multiple; the timing
+    denominators must use the steps actually executed, or --steps 10 would
+    report rates understated by the hidden extra ticks."""
+    return -(-steps // field_every) * field_every
+
+
+def _timed_rate(run_block, states, batch, steps, repeats,
+                with_carry: bool = False):
     states = run_block(states)
     jax.block_until_ready(jax.tree.leaves(states)[0])
     best = 0.0
@@ -52,7 +60,7 @@ def _timed_rate(run_block, states, batch, steps, repeats):
         jax.block_until_ready(jax.tree.leaves(states)[0])
         dt = time.perf_counter() - t0
         best = max(best, batch * steps / dt)
-    return best
+    return (best, states) if with_carry else best
 
 
 def kernel_guard():
@@ -108,6 +116,7 @@ def bench_2d(batch, steps, repeats):
     from slam_tpu.sim import world2d
 
     cfg = sim2d_config()
+    steps = _round_steps(steps)
     world = world2d.make_world(jax.random.PRNGKey(42), cfg.sim)
     keys = jax.random.split(jax.random.PRNGKey(0), batch)
     states = jax.vmap(lambda k: slam2d.init_state(k, cfg))(keys)
@@ -128,6 +137,7 @@ def bench_batch1_latency(steps, repeats):
     from slam_tpu.sim import world2d
 
     cfg = sim2d_config()
+    steps = _round_steps(steps)
     world = world2d.make_world(jax.random.PRNGKey(42), cfg.sim)
     state = slam2d.init_state(jax.random.PRNGKey(0), cfg)
 
@@ -147,6 +157,7 @@ def bench_3d(batch, steps, repeats):
     from slam_tpu.sim import world3d
 
     cfg = sim3d_config()
+    steps = _round_steps(steps)
     world = world3d.make_world(jax.random.PRNGKey(42), cfg.sim)
     keys = jax.random.split(jax.random.PRNGKey(0), batch)
     states = jax.vmap(lambda k: slam3d.init_state_3d(k, cfg, world))(keys)
@@ -185,21 +196,19 @@ def bench_ref_scale(batch, steps, repeats):
     states = jax.vmap(lambda k: slam3d.init_state_3d(k, cfg, world))(keys)
     gms = jax.vmap(lambda _: slam3d.init_ground_map(cfg))(jnp.arange(batch))
 
+    steps = _round_steps(steps)
+
     @functools.partial(jax.jit, donate_argnums=0)
-    def run_block(sg):
+    def run_block(carry):
+        sg, _ = carry
         def one(ss, gg):
             out, gm2, traj = slam3d.rollout_3d(ss, world, gg, cfg, steps)
             return (out, gm2), traj
         return jax.vmap(one)(*sg)
 
-    sg, traj = run_block((states, gms))
-    jax.block_until_ready(jax.tree.leaves(sg)[0])
-    best = 0.0
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        sg, traj = run_block(sg)
-        jax.block_until_ready(jax.tree.leaves(sg)[0])
-        best = max(best, batch * steps / (time.perf_counter() - t0))
+    dummy_traj = (jnp.zeros((batch, steps, 4)), jnp.zeros((batch, steps, 4)))
+    best, (sg, traj) = _timed_rate(run_block, ((states, gms), dummy_traj),
+                                   batch, steps, repeats, with_carry=True)
     est, true = (np.asarray(t) for t in traj)        # (B, steps, 4) each
     err = est[..., :2] - true[..., :2]
     ate_cm = float(np.sqrt((err ** 2).sum(-1).mean()) * 100.0)
@@ -397,6 +406,7 @@ def main():
             "value": round(rate3d, 1),
             "unit": "robot-steps/s",
             "vs_baseline": round(rate3d / 10000.0, 4),
+            "extra": extra,   # carries the kernel_guard status
         }))
         return
 

@@ -157,7 +157,10 @@ class GraphConfig:
     # ~512 points — ref_scale_config sets the reference's 20k.
     min_keyframe_points: int = 0
     opt_iterations: int = 10             # graph_slam.cpp:332 LM iterations
-    edge_icp_voxel: float = 0.5          # graphSlamTools.cpp:282 leaf size
+    # graphSlamTools.cpp:282 leaf size — satisfied implicitly: keyframe
+    # clouds are stored already voxel-downsampled at this leaf by the scene
+    # builder (see _edge_measurement)
+    edge_icp_voxel: float = 0.5
     edge_max_corr: float = 0.75          # graphSlamTools.cpp:302 LUM max corr dist
     edge_min_corr: int = 5               # minimum-overlap edge gate (ours; the
                                          # reference would add a ~zero-info edge)
@@ -349,11 +352,21 @@ def ref_scale_config() -> SlamConfig:
         height=dataclasses.replace(c.height, source="grid"),
         icp=dataclasses.replace(c.icp, inlier_dist=5.0, max_points=20000,
                                 ga_num_bins=384),
-        graph=dataclasses.replace(c.graph, min_keyframe_points=20000),
+        # min_scan_points: the reference's >=20k gates
+        # (scan_registration.cpp:122, graph_slam.cpp:498) are RAW-scan
+        # completeness gates on a ~70k-pt HDL-32E scan (~29%). Mapped
+        # proportionally to this sim's 20,480 rays: 5,856 raw hits (typical
+        # terrain scans hit ~73% = ~15k, so complete scans pass and
+        # truncated ones reject). Enforced at the frame level
+        # (process_frame* masks the whole scan); the keyframe gate
+        # (graph.min_keyframe_points) stays in voxelized-keyframe units —
+        # comparing 20000 against a <=4096-slot keyframe cloud would
+        # silently reject every keyframe.
         cloud=dataclasses.replace(c.cloud, scan_capacity=20480,
                                   scene_capacity=4096,
                                   ground_capacity=20480,
                                   map_capacity=40960,
+                                  min_scan_points=5856,
                                   scene_builder="grid"),
         mls=dataclasses.replace(c.mls, size_x=384, size_y=384, resolution=0.5,
                                 max_range=100.0, update_dist=192),

@@ -86,9 +86,18 @@ def _edge_measurement(graph: PoseGraph, i: jnp.ndarray, j: jnp.ndarray,
     is registered against the model (node i's cloud) with init = relative
     odometry pose (Mfrom^-1 * Mto, graphSlamTools.cpp:258).
     """
+    import dataclasses as _dc
+
     pi = graph.node_pose[i]
     pj = graph.node_pose[j]
     init_rel = se2_relative(pi[:3], pj[:3])
+
+    # the edge refinement runs on the GRAPH's ICP budget (edge_icp_max_iter,
+    # the reference's GICP budget), not the scan matcher's 20; the 0.5 m
+    # edge voxelization (edge_icp_voxel) is satisfied implicitly — keyframe
+    # clouds are stored already voxel-downsampled at that leaf by the scene
+    # builder (graphSlamTools.cpp:279-286 voxelizes for the same reason)
+    icp_cfg = _dc.replace(icp_cfg, max_iterations=gcfg.edge_icp_max_iter)
 
     scene_xyz = graph.kf_xyz[j][:, :2]
     scene_valid = graph.kf_valid[j]

@@ -320,6 +320,13 @@ def process_frame_planes(state: SlamState, scan_x, scan_y, hit, gyro, cmd,
     # hit=False) are treated as misses — and their coordinates zeroed, since
     # even a masked NaN poisons one-hot scatters (0 * NaN = NaN)
     hit = hit & jnp.isfinite(scan_x) & jnp.isfinite(scan_y)
+    # raw-scan completeness gate (scan_registration.cpp:122 rejects <20k-pt
+    # scans outright): an incomplete scan masks ALL points — registration
+    # fails ok=False and the EKF dead-reckons through the frame, exactly
+    # the reference's skip-scan recovery. Units: RAW scan hits (the
+    # keyframe gate below is in voxelized-keyframe-cloud units instead)
+    if cfg.cloud.min_scan_points > 0:
+        hit = hit & (jnp.sum(hit) >= cfg.cloud.min_scan_points)
     scan_x = jnp.where(hit, scan_x, 0.0)
     scan_y = jnp.where(hit, scan_y, 0.0)
 
@@ -519,8 +526,7 @@ def graph_update(state: SlamState, cfg: SlamConfig) -> SlamState:
 
     graph, added = pg.add_keyframe(
         state.graph, state.pose, state.prev_scene, cfg.icp, cfg.graph,
-        min_points=max(cfg.cloud.min_scan_points,
-                       cfg.graph.min_keyframe_points))
+        min_points=cfg.graph.min_keyframe_points)
 
     def do_opt(g):
         g, delta = pg.optimize(g, cfg.graph)

@@ -239,6 +239,11 @@ def process_frame_3d(state: SlamState, ground_map: GroundMap, scan_tilted,
     # NaN-poison every grid it scatters into. NaN attitude likewise zeroes
     # the tilt compensation instead of rotating the whole scan to NaN.
     hit = hit & jnp.all(jnp.isfinite(scan_tilted), axis=-1)
+    # raw-scan completeness gate (pointcloud_filter.cpp:290 rejects
+    # incomplete HDL-32E scans): all points masked -> registration fails,
+    # EKF dead-reckons, maps untouched — the reference's skip semantics
+    if cfg.cloud.min_scan_points > 0:
+        hit = hit & (jnp.sum(hit) >= cfg.cloud.min_scan_points)
     roll = jnp.where(jnp.isfinite(roll), roll, 0.0)
     pitch = jnp.where(jnp.isfinite(pitch), pitch, 0.0)
 

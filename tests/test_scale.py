@@ -188,12 +188,19 @@ def test_midscale_rollout_tracks():
     cfg = cfg.replace(
         sim=dataclasses.replace(cfg.sim, num_azimuth=160),  # 32*160 = 5120
         icp=dataclasses.replace(cfg.icp, matcher="grid"),
+        # scale the raw-scan completeness gate with the ray count (the
+        # full-size 5856 gate would mask EVERY 5120-ray scan and this test
+        # would "pass" on pure dead reckoning)
+        cloud=dataclasses.replace(cfg.cloud, min_scan_points=1464),
     )
     assert cfg.cloud.scene_builder == "grid"
     world = world3d.make_world(jax.random.PRNGKey(42), cfg.sim)
     s = slam3d.init_state_3d(jax.random.PRNGKey(0), cfg, world)
     gm = slam3d.init_ground_map(cfg)
     final, gm2, (est, true) = slam3d.rollout_3d(s, world, gm, cfg, 12)
+    # pin that registration actually ran (complete scans passed the gate):
+    # a masked-scan rollout dead-reckons with scan_reg_ok False throughout
+    assert bool(final.scan_reg_ok)
     est, true = np.asarray(est), np.asarray(true)
     err = est[4:, :2] - true[4:, :2]
     ate = float(np.sqrt((err ** 2).sum(-1).mean()))
