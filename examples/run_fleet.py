@@ -61,9 +61,11 @@ def main():
         # one shared map each 4-tick macro
         import jax.numpy as jnp
 
+        from slam_tpu.mapping.point_map import export_points
         from slam_tpu.parallel.shared_map import merge_maps
 
-        n_macro = max(1, args.steps // 4)
+        n_macro = max(1, -(-args.steps // 4))
+        executed = 4 * n_macro
 
         @jax.jit
         def run(s):
@@ -76,12 +78,26 @@ def main():
                     return jax.lax.scan(tick, x, None, length=4)[0]
                 ss = jax.vmap(ticks)(ss)
                 merged = merge_maps(ss.map_grid)
-                shared = jax.tree.map(
-                    lambda m: jnp.broadcast_to(
-                        m[None], (args.batch,) + m.shape), merged)
-                return ss.replace(map_grid=shared), None
+
+                def bcast(m):
+                    return jnp.broadcast_to(m[None],
+                                            (args.batch,) + m.shape)
+
+                shared = jax.tree.map(bcast, merged)
+                # refresh the registration TARGET from the merged grid:
+                # fused/points match against map_cloud, which would
+                # otherwise stay the initial empty cloud forever (ICP never
+                # succeeding — the fleet silently dead-reckoned); grid/
+                # particle read map_grid directly and get the shared grid
+                shared_cloud = jax.tree.map(bcast, export_points(
+                    merged, cfg.cloud.map_capacity,
+                    ga_threshold=cfg.icp.ga_threshold,
+                    recall=cfg.cloud.export_recall))
+                return ss.replace(map_grid=shared,
+                                  map_cloud=shared_cloud), None
             return jax.lax.scan(macro, s, None, length=n_macro)[0]
     else:
+        executed = -(-args.steps // 4) * 4  # rollout rounds up to macros
         run = jax.jit(lambda s: jax.vmap(
             lambda x: slam2d.rollout(x, world, cfg, args.steps))(s)[0])
     states = run(states)
@@ -90,7 +106,7 @@ def main():
     t = Throughput(batch=args.batch)
     states = run(states)
     jax.block_until_ready(states.pose)
-    t.tick(args.steps)
+    t.tick(executed)
     err = np.linalg.norm(
         np.asarray(states.pose[:, :2] - states.true_pose[:, :2]), axis=1)
     print(f"{t.robot_steps_per_sec:,.0f} robot-steps/s on "

@@ -39,6 +39,10 @@ def main():
     ap.add_argument("--prior-pcd", default=None, metavar="PATH",
                     help="relocalize against a prior .pcd map instead of "
                          "the robot's own (loadPCDFile, global_match.cpp:258)")
+    ap.add_argument("--graph", action="store_true",
+                    help="map with pose-graph SLAM and apply the match as "
+                         "an Edge{from: 0} loop closure + re-optimization "
+                         "(apply_relocalization_graph)")
     args = ap.parse_args()
 
     import dataclasses
@@ -49,10 +53,18 @@ def main():
             grid_resolution=0.5, accept_score=0.35))
 
     world = world2d.make_world(jax.random.PRNGKey(42), cfg.sim)
-    st = slam2d.init_state(jax.random.PRNGKey(0), cfg)
-    st, (est, true) = slam2d.rollout(st, world, cfg, args.steps)
-    print(f"mapped {args.steps} steps, "
-          f"ATE {float(slam2d.ate(est[10:], true[10:])):.3f} m")
+    st = slam2d.init_state(jax.random.PRNGKey(0), cfg, with_graph=args.graph)
+    if args.graph:
+        st, (est, true) = slam2d.rollout_with_graph(
+            st, world, cfg, num_macro=-(-args.steps // 8), graph_every=8)
+        print(f"mapped {len(est)} steps with pose graph "
+              f"({int(st.graph.num_nodes)} keyframes, "
+              f"{int(st.graph.num_edges)} edges), "
+              f"ATE {float(slam2d.ate(est[10:], true[10:])):.3f} m")
+    else:
+        st, (est, true) = slam2d.rollout(st, world, cfg, args.steps)
+        print(f"mapped {args.steps} steps, "
+              f"ATE {float(slam2d.ate(est[10:], true[10:])):.3f} m")
 
     if args.save_pcd:
         from slam_tpu.utils.pcd import save_pcd
@@ -84,7 +96,13 @@ def main():
         print(f"relocalization REJECTED (score {float(match.score):.3f}) — "
               "state left untouched (the reference retries next scan)")
         return
-    st_fixed = apply_relocalization(st_lost, match)
+    if args.graph:
+        from slam_tpu.pipeline.relocalize import apply_relocalization_graph
+        st_fixed = apply_relocalization_graph(st_lost, match, cfg)
+        print(f"loop-closure edge from node 0 injected; graph re-optimized "
+              f"({int(st_fixed.graph.num_edges)} edges)")
+    else:
+        st_fixed = apply_relocalization(st_lost, match)
     err1 = np.linalg.norm(np.asarray(st_fixed.pose[:2]) - true_pose[:2])
     print(f"relocalized: score {float(match.score):.3f}, "
           f"belief error {err0:.1f} m -> {err1:.2f} m")

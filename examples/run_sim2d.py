@@ -31,8 +31,10 @@ def main():
     state = slam2d.init_state(jax.random.PRNGKey(0), cfg,
                               with_graph=args.graph)
     if args.graph:
+        # round UP like the rollouts themselves: flooring silently truncated
+        # non-multiples of 8 and produced an empty (NaN-ATE) run below 8
         final, (est, true) = slam2d.rollout_with_graph(
-            state, world, cfg, num_macro=args.steps // 8, graph_every=8)
+            state, world, cfg, num_macro=-(-args.steps // 8), graph_every=8)
     else:
         final, (est, true) = slam2d.rollout(state, world, cfg, args.steps)
 

@@ -25,23 +25,11 @@ def main():
 
     from slam_tpu.config import sim2d_config
     from slam_tpu.sim import world2d
+    from slam_tpu.sim.replay import synth_frames
 
     cfg = sim2d_config()
     world = world2d.make_world(jax.random.PRNGKey(42), cfg.sim)
-
-    def body(pose, step):
-        cmd = world2d.drive_cmd(step, cfg.sim.dt)
-        pose = world2d.unicycle_step(pose, cmd, cfg.sim.dt)
-        r, h = world2d.raycast(world, pose, cfg.sim)
-        return pose, (r, cmd)
-
-    _, (rs, cmds) = jax.lax.scan(body, jnp.zeros(3), jnp.arange(args.frames))
-    rng = np.random.default_rng(args.seed)
-    ranges = np.asarray(rs) + rng.normal(0, cfg.sim.range_noise,
-                                         np.asarray(rs).shape)
-    gyro = np.asarray(cmds)[:, 2:3] + cfg.sim.gyro_bias
-    frames = np.concatenate([ranges, gyro, np.asarray(cmds)],
-                            axis=1).astype("<f4")
+    frames = synth_frames(world, cfg.sim, args.frames, seed=args.seed)
     with open(args.out, "wb") as f:
         f.write(frames.tobytes())
     print(f"wrote {args.frames} frames x {frames.shape[1]} floats to "

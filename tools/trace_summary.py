@@ -16,14 +16,24 @@ import sys
 def main():
     root = sys.argv[1] if len(sys.argv) > 1 else "/tmp/prof2d"
     top = int(sys.argv[2]) if len(sys.argv) > 2 else 30
-    path = sorted(glob.glob(f"{root}/plugins/profile/*/*.trace.json.gz"))[-1]
+    traces = sorted(glob.glob(f"{root}/plugins/profile/*/*.trace.json.gz"))
+    if not traces:
+        sys.exit(f"no trace under {root}/plugins/profile/ — run a profiled "
+                 "block first (e.g. tools/prof2d.py) or pass the log dir")
+    path = traces[-1]
     with gzip.open(path) as f:
         data = json.load(f)
     pids = {e["pid"]: e["args"]["name"] for e in data["traceEvents"]
             if e.get("ph") == "M" and e.get("name") == "process_name"}
+    # device processes: TPU on hardware, /device: rows in CPU-mesh traces
+    # (previously only TPU matched and CPU traces read as 0 ms); fall back
+    # to everything if the trace names processes differently
+    dev = {p for p, n in pids.items() if "TPU" in n or "/device:" in n}
+    if not dev:
+        dev = set(pids)
     by, cnt = collections.Counter(), collections.Counter()
     for e in data["traceEvents"]:
-        if e.get("ph") == "X" and "dur" in e and "TPU" in pids.get(e["pid"], ""):
+        if e.get("ph") == "X" and "dur" in e and e.get("pid") in dev:
             by[e["name"]] += e["dur"]
             cnt[e["name"]] += 1
     print(f"total device ms: {sum(by.values())/1e3:.1f}   ({path})")
