@@ -188,6 +188,9 @@ class GraphConfig:
 class GlobalMatchConfig:
     """Correlative relocalization (global_matching/src/global_match.cpp:24-41)."""
 
+    # provenance-only: the exhaustive FFT search supersedes random restarts
+    # (every rotation x translation is scored, so there is nothing to
+    # restart) and its search radius is implicitly grid_size*resolution/2
     num_restarts: int = 20               # global_match.cpp:36 (random restarts)
     search_radius: float = 10.0          # global_match.cpp:105-122 (+-10 m)
     # MATCH-FRACTION lower bound in [0, 1] (fraction of occupied scene
@@ -195,7 +198,11 @@ class GlobalMatchConfig:
     # that (global_match.cpp:30,151) bounds fitness/N, an ERROR metric with
     # an unrelated scale — reusing it here would accept nearly any match.
     accept_score: float = 0.35
-    max_failures: int = 50               # global_match.cpp:204 fallback gate
+    # give-up gate: after this many consecutive rejections the prior belief
+    # publishes as the match (relocalize_with_fallback, global_match.cpp:204)
+    max_failures: int = 50
+    # provenance-only: rasterization at grid_resolution is the FFT path's
+    # own scene decimation (the reference voxelized before GICP)
     voxel_leaf: float = 1.5              # global_match.cpp:92-94
     # FFT correlative search parameters (ours; replaces random-restart GICP)
     num_rotations: int = 64              # rotation slices over 360 deg

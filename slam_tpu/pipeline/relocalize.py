@@ -27,6 +27,28 @@ def relocalize(state: SlamState, scene: PointCloud,
                         cfg.global_match, cfg.icp)
 
 
+def relocalize_with_fallback(state: SlamState, scene: PointCloud,
+                             cfg: SlamConfig, failures: jnp.ndarray
+                             ) -> tuple[MatchResult, jnp.ndarray]:
+    """relocalize + the reference's give-up fallback
+    (global_match.cpp:199-221): after global_match.max_failures CONSECUTIVE
+    rejections, publish the PRIOR belief as an accepted match (score 0) so
+    downstream consumers stop waiting on a robot that will never match —
+    e.g. one kidnapped beyond the raster, or in a featureless area.
+
+    failures: () int32 consecutive-rejection counter the caller carries
+    (reset to 0 on success or fallback). Returns (match, new_failures).
+    """
+    match = relocalize(state, scene, cfg)
+    failures = jnp.where(match.ok, 0, failures + 1)
+    give_up = failures >= cfg.global_match.max_failures
+    prior = MatchResult(pose=state.pose[:3],
+                        score=jnp.float32(0.0),
+                        ok=jnp.asarray(True))
+    out = jax.tree.map(lambda a, b: jnp.where(give_up, a, b), prior, match)
+    return out, jnp.where(give_up, 0, failures).astype(jnp.int32)
+
+
 def apply_relocalization(state: SlamState, match: MatchResult) -> SlamState:
     """Shift the EKF belief by the recovered pose delta when accepted
     (globalCallback, nasa_ekf.cpp:155-176: mu += [dx, dy, dyaw])."""

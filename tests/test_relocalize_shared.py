@@ -146,3 +146,37 @@ def test_fleet_particle_matcher_shared_map_tracks():
     assert float(states.map_grid.count[0].sum()) > 0
     np.testing.assert_allclose(np.asarray(states.map_grid.count[0]),
                                np.asarray(states.map_grid.count[-1]))
+
+
+def test_fallback_publishes_prior_after_max_failures():
+    """The reference gives up after 50 consecutive relocalization failures
+    and publishes the prior (global_match.cpp:199-221):
+    relocalize_with_fallback must count rejections, fire the prior-as-match
+    at the threshold, and reset on success."""
+    import dataclasses
+
+    import jax
+    from slam_tpu.pipeline.relocalize import relocalize_with_fallback
+
+    cfg = _cfg()
+    cfg = cfg.replace(global_match=dataclasses.replace(
+        cfg.global_match, max_failures=3, accept_score=0.99))  # reject all
+    world = world2d.make_world(jax.random.PRNGKey(42), cfg.sim)
+    st = slam2d.init_state(jax.random.PRNGKey(0), cfg)
+    st, _ = slam2d.rollout(st, world, cfg, 20)
+    # a garbage scene that can never clear accept_score=0.99
+    scene = slam2d.build_scene(
+        jnp.zeros((cfg.sim.num_beams, 3)), jnp.zeros(cfg.sim.num_beams, bool),
+        cfg)
+    failures = jnp.int32(0)
+    for k in range(2):
+        match, failures = relocalize_with_fallback(st, scene, cfg, failures)
+        assert not bool(match.ok)
+        assert int(failures) == k + 1
+    # third consecutive failure hits max_failures=3: prior publishes
+    match, failures = relocalize_with_fallback(st, scene, cfg, failures)
+    assert bool(match.ok)
+    assert float(match.score) == 0.0
+    np.testing.assert_allclose(np.asarray(match.pose),
+                               np.asarray(st.pose[:3]))
+    assert int(failures) == 0  # counter reset after the fallback
