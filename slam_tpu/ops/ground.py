@@ -28,6 +28,7 @@ insufficient model) are dropped from all outputs, as in the reference.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -42,6 +43,18 @@ from slam_tpu.types import PointCloud
 # scale but are memory-quadratic; beyond this element budget the O(N) native
 # scatter/gather engine takes over (reference scale: 20k pts x 72x200 bins)
 INCIDENCE_LIMIT = 1 << 25
+
+# which large-N prototype engine to use: "sort" (stable 2-key sort, exact
+# proto z/r of the mm-min point) or "packedmin" (one int32 scatter-min over a
+# packed (zq, rq) key + one count scatter-add — 2 O(N) passes instead of a
+# 4-operand sort; proto z quantized to 1 mm and proto r to r_max/2048
+# ~5 cm, both far inside the GP length scale / threshold tolerances).
+# Env-gated so the engines can be A/B'd through the real pipeline.
+LARGE_N_PROTO = os.environ.get("SLAM_TPU_GROUND_PROTO", "sort")
+
+# low-bit field width for the packed (zq, rq) prototype key: 20 z bits +
+# _RQ_BITS range bits must stay < 31 (int32, non-negative)
+_RQ_BITS = 11
 
 
 class GroundSegResult(NamedTuple):
@@ -132,7 +145,7 @@ def segment_ground(cloud: PointCloud, cfg: GroundSegConfig) -> GroundSegResult:
         # on TPU at this scale)
         proto_r = jnp.sum(chosen * r2[:, None], axis=0).reshape(S, L)
         proto_h = jnp.sum(chosen * z[:, None], axis=0).reshape(S, L)
-    else:
+    elif LARGE_N_PROTO == "sort":
         # Sort-based prototype extraction. XLA TPU scatter-ADD runs at
         # bandwidth speed, but scatter-MIN costs ~4.4 ms per pass at this
         # size, and the min->gather->min->gather prototype chain serialized
@@ -154,6 +167,40 @@ def segment_ground(cloud: PointCloud, cfg: GroundSegConfig) -> GroundSegResult:
         proto_r = acc[:K, 0].reshape(S, L)
         proto_h = acc[:K, 1].reshape(S, L)
         bin_count = acc[:K, 2].astype(jnp.int32).reshape(S, L)
+    else:
+        # Packed-key scatter-min prototype extraction ("packedmin"): pack
+        # (zq, rq) into one non-negative int32 — zq in the high 20 bits,
+        # range quantized to r_max/2^_RQ_BITS (~5 cm) in the low bits — so a
+        # single .at[].min recovers BOTH prototype fields, plus one
+        # scatter-add for counts: 2 bandwidth-bound O(N) passes replacing
+        # the sort engine's 4-operand stable sort. DOCUMENTED TOLERANCES on
+        # top of the sort path's 1 mm z quantization: (a) proto_r is mid-bin
+        # at ~5 cm resolution (vs the GP length scale of 10 m and the 50 m
+        # seed gate — sub-0.1% kernel perturbation); (b) mm-level z ties
+        # resolve by smaller quantized range instead of first scan index
+        # (still deterministic); (c) proto_h is the mm-quantized z rather
+        # than the chosen point's exact z (±0.5 mm vs the 0.3 m ground
+        # threshold).
+        K = S * L
+        rq_scale = (1 << _RQ_BITS) / cfg.r_max
+        # ok implies r2 <= r3 < r_max, so rq < 2^_RQ_BITS before the clip
+        rq = jnp.clip((r2 * rq_scale).astype(jnp.int32), 0,
+                      (1 << _RQ_BITS) - 1)
+        key = jnp.where(ok, zq * (1 << _RQ_BITS) + rq, imax)
+        minkey = jnp.full((K + 1,), imax, jnp.int32).at[flat].min(key)
+        cnt = jnp.zeros((K + 1,), jnp.int32).at[flat].add(
+            jnp.where(ok, 1, 0))
+        mk = minkey[:K]
+        has = cnt[:K] > 0
+        mk = jnp.where(has, mk, 0)
+        proto_h = jnp.where(
+            has, (mk >> _RQ_BITS).astype(z.dtype) * 1e-3 - 500.0, 0.0
+        ).reshape(S, L)
+        proto_r = jnp.where(
+            has,
+            ((mk & ((1 << _RQ_BITS) - 1)).astype(z.dtype) + 0.5) / rq_scale,
+            0.0).reshape(S, L)
+        bin_count = cnt[:K].reshape(S, L)
     # a prototype exists iff the bin has any ok point, i.e. counts >= 1,
     # which the min-points gate subsumes (min_bin_points >= 1)
     sig_valid = bin_count > cfg.min_bin_points  # :211

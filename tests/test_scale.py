@@ -108,6 +108,67 @@ def test_ground_native_matches_incidence():
                                atol=1e-5)
 
 
+def test_ground_packedmin_matches_sort():
+    """The packed-key scatter-min prototype engine vs the sort engine.
+
+    Exact equality is not expected: packedmin quantizes proto_r to
+    r_max/2048 (~5 cm) and proto_h to 1 mm, which can flip sub-quantum
+    height-sort ties and borderline threshold comparisons. Demand near-total
+    label agreement and close regressed ground heights instead.
+    """
+    from slam_tpu.ops import ground as gmod
+    from slam_tpu.sim import world3d
+    from slam_tpu.types import cloud_from_xyz
+
+    cfg = ref_scale_config()
+    sim = dataclasses.replace(cfg.sim, num_azimuth=64)   # 2048 rays
+    world = world3d.make_world(jax.random.PRNGKey(1), sim)
+    scan, hit = world3d.raycast(world, jnp.zeros(3), sim)
+    cloud = cloud_from_xyz(scan, valid=hit)
+
+    with mock.patch.object(gmod, "INCIDENCE_LIMIT", 0):
+        r_sort = jax.jit(lambda c: gmod.segment_ground(c, cfg.ground))(cloud)
+        with mock.patch.object(gmod, "LARGE_N_PROTO", "packedmin"):
+            r_pm = jax.jit(lambda c: gmod.segment_ground(c, cfg.ground))(
+                cloud)
+
+    v_s = np.asarray(r_sort.cloud.valid)
+    v_p = np.asarray(r_pm.cloud.valid)
+    lbl_s = np.where(v_s, np.asarray(r_sort.cloud.flags), -1)
+    lbl_p = np.where(v_p, np.asarray(r_pm.cloud.flags), -1)
+    agree = (lbl_s == lbl_p).mean()
+    assert agree > 0.995, f"only {agree:.4f} label agreement"
+    # regressed heights over sufficient sectors stay within a few cm
+    suff = np.asarray(r_sort.sector_sufficient) & \
+        np.asarray(r_pm.sector_sufficient)
+    df = np.abs(np.asarray(r_sort.f_s) - np.asarray(r_pm.f_s))[suff]
+    assert float(df.max(initial=0.0)) < 0.05, f"f_s diverged {df.max()}"
+
+
+def test_ground_packedmin_empty_and_ties():
+    """packedmin edge cases: all-invalid cloud, and exact mm-level z ties
+    (ties resolve by quantized range — deterministic, bin still classified)."""
+    from slam_tpu.ops import ground as gmod
+    from slam_tpu.types import cloud_from_xyz
+
+    cfg = ref_scale_config().ground
+    with mock.patch.object(gmod, "INCIDENCE_LIMIT", 0), \
+            mock.patch.object(gmod, "LARGE_N_PROTO", "packedmin"):
+        empty = cloud_from_xyz(jnp.zeros((128, 3)),
+                               valid=jnp.zeros(128, bool))
+        res = jax.jit(lambda c: gmod.segment_ground(c, cfg))(empty)
+        assert not bool(res.cloud.valid.any())
+
+        # 32 identical-z points in one bin (plus range jitter): one
+        # prototype, classified ground around itself
+        x = jnp.linspace(10.0, 10.2, 32)
+        xyz = jnp.stack([x, jnp.zeros(32), jnp.full((32,), -1.45)], -1)
+        res = jax.jit(lambda c: gmod.segment_ground(c, cfg))(
+            cloud_from_xyz(xyz))
+        flags = np.asarray(res.cloud.flags)[np.asarray(res.cloud.valid)]
+        assert flags.size  # classified, no NaN/sentinel fallout
+
+
 def test_scatter_native_matches_onehot():
     from slam_tpu.ops.scatter2d import scatter_add_2d_multi
 
