@@ -35,7 +35,9 @@ import jax
 import jax.numpy as jnp
 
 from slam_tpu.config import GroundSegConfig
-from slam_tpu.ops.linalg import cholesky_unrolled, forward_substitute
+from slam_tpu.ops.linalg import (cholesky_blocked, cholesky_unrolled,
+                                 forward_substitute,
+                                 forward_substitute_blocked)
 from slam_tpu.types import PointCloud
 
 
@@ -55,6 +57,12 @@ LARGE_N_PROTO = os.environ.get("SLAM_TPU_GROUND_PROTO", "sort")
 # low-bit field width for the packed (zq, rq) prototype key: 20 z bits +
 # _RQ_BITS range bits must stay < 31 (int32, non-negative)
 _RQ_BITS = 11
+
+# GP solver for the INSAC sweeps: "unrolled" (column-at-a-time, fully
+# fusible, best at tiny C) or "blocked" (panel updates — one full-matrix
+# einsum per 8 columns instead of one full-matrix copy per column; same
+# math to fp roundoff). Env-gated for on-chip A/B at reference scale (C=64).
+GP_SOLVER = os.environ.get("SLAM_TPU_GP_SOLVER", "unrolled")
 
 
 class GroundSegResult(NamedTuple):
@@ -239,10 +247,16 @@ def segment_ground(cloud: PointCloud, cfg: GroundSegConfig) -> GroundSegResult:
             cfg.gp_noise * mf[:, None, :] * eyeC + \
             (1.0 - mf)[:, None, :] * eyeC
         B = Kall * mf[:, None, :]                                 # cols masked
-        Lchol = cholesky_unrolled(M)
+        if GP_SOLVER == "blocked":
+            Lchol = cholesky_blocked(M)
+        else:
+            Lchol = cholesky_unrolled(M)
         rhs = jnp.concatenate([(sl_h * mf)[:, :, None],
                                jnp.swapaxes(B, 1, 2)], axis=2)    # (S, C, 1+C)
-        Y = forward_substitute(Lchol, rhs)
+        if GP_SOLVER == "blocked":
+            Y = forward_substitute_blocked(Lchol, rhs)
+        else:
+            Y = forward_substitute(Lchol, rhs)
         w, Yb = Y[..., 0], Y[..., 1:]                             # L^-1 h, L^-1 B^T
         # f_s = B M^-1 h = Yb^T w;  v = sf - diag(B M^-1 B^T) = sf - sum Yb^2
         f_s = jnp.einsum("sjc,sj->sc", Yb, w)

@@ -71,6 +71,62 @@ def test_masked_gp_system_matches_general_solve():
     np.testing.assert_allclose(v, v_ref, rtol=1e-4, atol=1e-4)
 
 
+def test_blocked_matches_unrolled():
+    """Blocked panel Cholesky/substitution vs the column-unrolled versions,
+    including C not a multiple of the block and the eps-clamped degenerate
+    (semi-definite) case."""
+    from slam_tpu.ops.linalg import (back_substitute_blocked, cholesky_blocked,
+                                     forward_substitute_blocked)
+    rng = np.random.default_rng(7)
+    for C in (8, 24, 40, 64):
+        M = _random_spd(rng, (5,), C)
+        R = rng.normal(size=(5, C, 9)).astype(np.float32)
+        Lu = cholesky_unrolled(jnp.array(M))
+        Lb = cholesky_blocked(jnp.array(M))
+        np.testing.assert_allclose(np.asarray(Lb), np.asarray(Lu),
+                                   rtol=1e-4, atol=1e-4)
+        yf_u = np.asarray(forward_substitute(Lu, jnp.array(R)))
+        yf_b = np.asarray(forward_substitute_blocked(Lb, jnp.array(R)))
+        np.testing.assert_allclose(yf_b, yf_u, rtol=1e-4, atol=1e-4)
+        yb_u = np.asarray(back_substitute(Lu, jnp.array(R)))
+        yb_b = np.asarray(back_substitute_blocked(Lb, jnp.array(R)))
+        np.testing.assert_allclose(yb_b, yb_u, rtol=1e-3, atol=1e-3)
+    # semi-definite input: a single block must stay finite like the
+    # unrolled path (values are garbage on BOTH paths past the rank, so
+    # only finiteness is contractual; multi-block additionally documents a
+    # strict-PD precondition — its panel update can overflow)
+    v = rng.normal(size=(6, 1)).astype(np.float32)
+    Msd = jnp.array(v @ v.T)
+    assert np.isfinite(np.asarray(cholesky_unrolled(Msd))).all()
+    assert np.isfinite(np.asarray(cholesky_blocked(Msd, block=8))).all()
+
+
+def test_ground_blocked_solver_matches():
+    """segment_ground with SLAM_TPU_GP_SOLVER=blocked reproduces the
+    unrolled-solver labels and regression heights."""
+    from unittest import mock
+
+    from slam_tpu.config import GroundSegConfig
+    from slam_tpu.ops import ground as gmod
+    from slam_tpu.types import cloud_from_xyz
+    from tests.test_ground import make_scene
+
+    cfg = GroundSegConfig(num_sectors=24, num_range_bins=64,
+                          signal_capacity=32, max_insac_sweeps=12)
+    xyz, _ = make_scene(seed=5)
+    cloud = cloud_from_xyz(jnp.array(xyz))
+    r_u = jax.jit(lambda c: gmod.segment_ground(c, cfg))(cloud)
+    with mock.patch.object(gmod, "GP_SOLVER", "blocked"):
+        r_b = jax.jit(lambda c: gmod.segment_ground(c, cfg))(cloud)
+    v_u, v_b = np.asarray(r_u.cloud.valid), np.asarray(r_b.cloud.valid)
+    l_u = np.where(v_u, np.asarray(r_u.cloud.flags), -1)
+    l_b = np.where(v_b, np.asarray(r_b.cloud.flags), -1)
+    agree = (l_u == l_b).mean()
+    assert agree > 0.999, f"only {agree:.4f} label agreement"
+    np.testing.assert_allclose(np.asarray(r_b.f_s), np.asarray(r_u.f_s),
+                               rtol=1e-3, atol=1e-3)
+
+
 def test_inv3_matches_numpy():
     from slam_tpu.ops.linalg import inv3
     rng = np.random.default_rng(3)
