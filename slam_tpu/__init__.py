@@ -18,8 +18,28 @@ _jax.config.update("jax_default_matmul_precision", "highest")
 # Pallas kernels through the remote-compile relay); cache them across runs.
 import os as _os
 
-_cache_dir = _os.environ.get("SLAM_TPU_JAX_CACHE",
-                             _os.path.expanduser("~/.cache/slam_tpu_jax"))
+def _host_cpu_sig() -> str:
+    """Short signature of the host's CPU feature flags. The persistent
+    cache stores XLA:CPU AOT executables whose cache key does NOT cover
+    host CPU features — loading an entry compiled on a machine with a
+    different feature set (VM migration) warns `cpu_aot_loader: ... could
+    lead to execution errors such as SIGILL` and can segfault outright.
+    Keying the cache DIRECTORY by the feature flags turns a host change
+    into a clean cache miss instead."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    import hashlib
+                    return hashlib.sha256(line.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    return "nosig"
+
+
+_cache_dir = _os.environ.get(
+    "SLAM_TPU_JAX_CACHE",
+    _os.path.expanduser(f"~/.cache/slam_tpu_jax-{_host_cpu_sig()}"))
 try:
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
