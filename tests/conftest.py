@@ -19,4 +19,11 @@ import jax  # noqa: E402
 # live); default is the 8-device virtual CPU mesh.
 if not os.environ.get("SLAM_TPU_TEST_ON_TPU"):
     jax.config.update("jax_platforms", "cpu")
+    # The persistent compilation cache exists for slow axon TPU compiles;
+    # on the CPU backend it has segfaulted full-suite runs twice (XLA:CPU
+    # executable (de)serialization crashes deep in
+    # compilation_cache.{get,put}_executable_and_time — deterministic at
+    # suite scale, unreproducible in isolation). CPU compiles are cheap:
+    # run the suite uncached.
+    jax.config.update("jax_enable_compilation_cache", False)
 jax.config.update("jax_threefry_partitionable", True)
