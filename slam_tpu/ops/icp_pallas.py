@@ -452,8 +452,14 @@ def _icp_batched_planes_tiled(sx, sy, sc, mx, my, mc, init, cfg: IcpConfig,
     as class 2 (invalid -> BIG penalty). s_blk/c_blk are CAPS — the actual
     block sizes shrink to fit the operands with minimal padding
     (_fit_block)."""
+    # BOTH block sizes must be 128 multiples: the kernel's pl.ds starts
+    # (si*s_blk, ci*c_blk) slice the LANE dim of (1, 1, N) refs, and Mosaic
+    # only admits lane-dim dynamic slices it can statically prove
+    # 128-aligned ("index in dimension 2 is a multiple of 128"). An
+    # 8-multiple scene fit (e.g. S=384 -> s_blk=192) fails to compile
+    # on-chip even though it minimizes padding.
     c_blk = _fit_block(mx.shape[-1], c_blk, 128)
-    s_blk = _fit_block(sx.shape[-1], s_blk, 8)
+    s_blk = _fit_block(sx.shape[-1], s_blk, 128)
     sx = _pad_plane(sx, s_blk, 0.0)
     sy = _pad_plane(sy, s_blk, 0.0)
     sc = _pad_plane(sc, s_blk, -1.0)
