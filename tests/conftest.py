@@ -4,6 +4,12 @@ testable without TPUs (SURVEY.md §4 implication (4)).
 Note: this image registers an `axon` TPU backend via sitecustomize and sets
 JAX_PLATFORMS=axon; the env var alone doesn't override it, so we force the
 platform through jax.config before any device is touched.
+
+RUNNING THE SUITE: use `python tools/run_tests.py` (per-file subprocesses).
+A single-process `pytest tests/ -q` deterministically segfaults inside
+XLA:CPU `backend_compile_and_load` ~1/3 of the way in — a backend bug that
+only manifests at suite scale, with the compile cache already disabled
+(see below). Individual files always run clean.
 """
 
 import os
