@@ -301,6 +301,21 @@ def _drivability(grid: MlsGrid, touched: jnp.ndarray,
     return drivable
 
 
+def offset_mls_z(grid: MlsGrid, dz) -> MlsGrid:
+    """MLS::offsetMap (mls.cpp:481-505): shift every existing cluster's mean
+    z by the graph-SLAM pose offset's z component. The reference iterates
+    cells with non-empty cluster vectors and adds pose.position.z to
+    mean[2]; here the fixed-K bank's "exists" mask is num_pts > 0 (an
+    uninitialized slot must keep mean 0 — the association phase measures
+    distances to uninitialized-slot means too, add_to_mls phase A).
+    Variance, counts, and drivability are untouched, like the reference's.
+    Applied by graph_update when the optimizer moves the newest keyframe
+    (local_mapper.cpp:48-51 dataflow)."""
+    exists = grid.num_pts > 0
+    return grid.replace(
+        mean=grid.mean.at[..., 2].add(jnp.where(exists, dz, 0.0)))
+
+
 def get_segmented_clouds(grid: MlsGrid, cfg: MlsConfig, capacity: int):
     """Export cluster means as obstacle/ground clouds
     (MLS::getSegmentedClouds, mls.cpp:520-555): ground cluster of drivable

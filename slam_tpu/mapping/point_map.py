@@ -65,6 +65,18 @@ def shift_point_map(grid: PointMapGrid, new_center_xy: jnp.ndarray,
                         center=center, resolution=grid.resolution)
 
 
+def offset_point_map_z(grid: PointMapGrid, dz) -> PointMapGrid:
+    """Apply a graph-SLAM z pose-offset to every stored point
+    (MLS::offsetMap, mls.cpp:481-505, applied by the local mapper at
+    local_mapper.cpp:48-51 when graph_slam publishes the post-optimization
+    delta of its newest node, graph_slam.cpp:357-384).
+
+    sum_z accumulates ABSOLUTE per-point z sums, so shifting every stored
+    point by dz is exactly sum_z + dz * count — no per-point pass needed.
+    Empty cells (count 0) are unchanged by construction."""
+    return grid.replace(sum_z=grid.sum_z + dz * grid.count)
+
+
 def _cell_centers_1d(G: int, resolution: float, offset: jnp.ndarray):
     return (jnp.arange(G) - G // 2 + 0.5) * resolution + offset
 

@@ -241,7 +241,7 @@ def update_map_cloud(map_cloud: PointCloud, scene: PointCloud,
 def slam_step(state: SlamState, world: World2D, cfg: SlamConfig,
               incremental_map: bool = True, field=None,
               refresh_map: bool = True, shift_maps: bool = True,
-              target_planes=None) -> SlamState:
+              target_planes=None, pf_target=None) -> SlamState:
     """One full SLAM tick. Pure; jit/vmap/shard_map friendly.
 
     incremental_map: fold each registered scene into the map target (the
@@ -270,7 +270,7 @@ def slam_step(state: SlamState, world: World2D, cfg: SlamConfig,
         state, scan_x, scan_y, hit, gyro, cmd, cfg,
         incremental_map=incremental_map, field=field,
         refresh_map=refresh_map, shift_maps=shift_maps,
-        target_planes=target_planes)
+        target_planes=target_planes, pf_target=pf_target)
     return state.replace(true_pose=jnp.concatenate([true2, jnp.zeros(1)]),
                          rng=key)
 
@@ -303,7 +303,7 @@ def process_frame_planes(state: SlamState, scan_x, scan_y, hit, gyro, cmd,
                          cfg: SlamConfig, incremental_map: bool = True,
                          field=None, refresh_map: bool = True,
                          shift_maps: bool = True,
-                         target_planes=None) -> SlamState:
+                         target_planes=None, pf_target=None) -> SlamState:
     """process_frame on x/y scan planes — the hot-path form. Point data stays
     planar (rank-2 under vmap) through scene build, transform, and grid
     updates; (N, small)-stacked arrays lane-pad their minor dim to 128 on TPU
@@ -311,7 +311,14 @@ def process_frame_planes(state: SlamState, scan_x, scan_y, hit, gyro, cmd,
 
     target_planes: optional (mx, my, mga, mvalid) scan-to-map target planes
     (export_point_planes) — the rollout refreshes them at macro boundaries;
-    None falls back to slicing state.map_cloud."""
+    None falls back to slicing state.map_cloud.
+
+    pf_target: optional PointMapGrid the particle matcher scores against
+    INSTEAD of state.map_grid — the fleet-shared map path
+    (parallel.shared_map.fleet_rollout_shared): one replicated grid closed
+    over the vmapped step, so no per-robot copy is ever materialized. With
+    pf_target set, pass incremental_map=False — per-robot map maintenance
+    is the shared scatter's job (done once per macro for the whole fleet)."""
     from slam_tpu.geometry import se2_apply_xy
 
     dt = cfg.sim.dt
@@ -344,12 +351,14 @@ def process_frame_planes(state: SlamState, scan_x, scan_y, hit, gyro, cmd,
                          "(points | grid | fused | particle)")
     if matcher == "fused" and jax.default_backend() != "tpu":
         matcher = "points"
-    if not incremental_map and matcher in ("grid", "particle"):
+    if not incremental_map and matcher in ("grid", "particle") and \
+            pf_target is None:
         # these matchers score against the incrementally-maintained map
         # grid, which graph mode deliberately does not update (targets come
         # from optimized keyframes only, scan_registration.cpp:185-186) —
         # register against the graph target instead of silently reading a
-        # stale grid
+        # stale grid. An explicit pf_target (the fleet-shared map) is a
+        # live target, so the particle matcher keeps it.
         matcher = "points"
     if incremental_map and matcher == "grid":
         from slam_tpu.ops.grid_icp import icp_fit_grid, nearest_point_field
@@ -359,14 +368,15 @@ def process_frame_planes(state: SlamState, scan_x, scan_y, hit, gyro, cmd,
                                         cfg.icp.ga_threshold)
         icp = icp_fit_grid(scene.xyz[..., :2], scene.valid, scene.is_ga(),
                            field, pred, cfg.icp)
-    elif incremental_map and matcher == "particle":
+    elif matcher == "particle" and (incremental_map or pf_target is not None):
         from slam_tpu.ops.icp import IcpResult
         from slam_tpu.ops.particle import pf_match
         # fold the step index in so external-frame replay (whose state.rng
         # is never advanced by a simulator) still gets fresh proposals
         pf_key = jax.random.fold_in(state.rng, state.step)
-        r = pf_match(pf_key, state.map_grid, scene, pred,
-                     cfg.icp.voxel_leaf_obs[0], cfg.pf)
+        r = pf_match(pf_key,
+                     state.map_grid if pf_target is None else pf_target,
+                     scene, pred, cfg.icp.voxel_leaf_obs[0], cfg.pf)
         n_valid = jnp.sum(skeep)
         icp = IcpResult(
             pose=r.pose, ok=r.ok,
@@ -511,16 +521,34 @@ def rollout(state: SlamState, world: World2D, cfg: SlamConfig, num_steps: int,
 
 
 def graph_update(state: SlamState, cfg: SlamConfig) -> SlamState:
+    """graph_slam node tick, discarding the pose-offset delta — for 2D
+    pipelines, whose maps carry no z content (the only state the reference's
+    offset feedback mutates, mls.cpp:481-505). 3D/height consumers use
+    graph_update_delta and apply the z offset to their ground maps."""
+    state, _delta = graph_update_delta(state, cfg)
+    return state
+
+
+def graph_update_delta(state: SlamState,
+                       cfg: SlamConfig) -> tuple[SlamState, jnp.ndarray]:
     """graph_slam node tick (graph_slam.cpp:479-585): gate/insert a keyframe
     with edges, optimize, regenerate the scan-to-map target from keyframes.
+    Returns (state, delta): delta is the (x, y, yaw, z) pose offset of the
+    newest node across the optimization (graph_slam.cpp:357-384, the
+    /mapping/graph_slam/pose_offset topic; zeros when no optimization ran).
 
     Run at a slower cadence than slam_step (the reference caps it at 10 Hz and
     gates keyframes at 5 m spacing) — see rollout_with_graph.
 
-    The optimized pose offset shifts only the map target, not the EKF: the
-    reference's EKF subscription to /mapping/graph_slam/pose_offset is
-    commented out (nasa_ekf.cpp:396-397), and local_mapper applies only the z
-    offset (local_mapper.cpp:48-51).
+    The optimized pose offset shifts only MAPS, not the EKF: the reference's
+    EKF subscription to /mapping/graph_slam/pose_offset is commented out
+    (nasa_ekf.cpp:396-397), and local_mapper applies only the z offset via
+    MLS::offsetMap (local_mapper.cpp:48-51, mls.cpp:481-505) — callers with
+    z-bearing maps apply delta[3] via mapping.point_map.offset_point_map_z /
+    mapping.mls.offset_mls_z (see slam3d.rollout_3d_with_graph). The
+    occupancy grid holds log-odds only (no z), so it has nothing to shift —
+    the reference's occupancy-mode cells likewise have no clusters for
+    offsetMap's loop to touch.
     """
     from slam_tpu.graph import pose_graph as pg
 
@@ -563,7 +591,7 @@ def graph_update(state: SlamState, cfg: SlamConfig) -> SlamState:
                               graph_edges=graph.num_edges)
     return state.replace(graph=graph, map_cloud=map_cloud,
                          graph_full=graph.num_nodes >= cfg.graph.max_nodes,
-                         metrics_ring=ring)
+                         metrics_ring=ring), delta
 
 
 @partial(jax.jit, static_argnames=("cfg", "num_macro", "graph_every"))

@@ -461,6 +461,23 @@ def rollout_3d(state: SlamState, world: World3D, ground_map, cfg: SlamConfig,
                        true.reshape(-1, 4)[:num_steps])
 
 
+def apply_graph_offset(gm: GroundMap, delta: jnp.ndarray) -> GroundMap:
+    """MLS::offsetMap applied to the ground store (mls.cpp:481-505 via
+    local_mapper.cpp:48-51): shift the grid's z content by the graph
+    pose-offset's z so the next height interpolation reads the corrected
+    surface. The exported cloud shadows the grid between macro refreshes, so
+    its z shifts too (the reference's global_cloud branch, mls.cpp:493-502).
+    Only delta z is applied — the reference's offsetMap ignores x/y/yaw."""
+    from slam_tpu.mapping.point_map import offset_point_map_z
+
+    dz = delta[3]
+    return GroundMap(
+        grid=offset_point_map_z(gm.grid, dz),
+        cloud=gm.cloud.replace(
+            xyz=gm.cloud.xyz.at[:, 2].add(
+                jnp.where(gm.cloud.valid, dz, 0.0))))
+
+
 @partial(jax.jit, static_argnames=("cfg", "num_macro", "graph_every"))
 def rollout_3d_with_graph(state: SlamState, world: World3D,
                           ground_map, cfg: SlamConfig,
@@ -469,8 +486,14 @@ def rollout_3d_with_graph(state: SlamState, world: World3D,
     scan ticks per graph tick (the reference's 10 Hz graph_slam loop under
     the per-scan registration loop). Reuses the 2D graph_update — keyframes
     are the segmented obstacle scenes; edges come from the same planar ICP
-    the reference uses (its graph edges are planar-ICP derived too)."""
-    from slam_tpu.pipeline.slam2d import graph_update
+    the reference uses (its graph edges are planar-ICP derived too).
+
+    The optimizer's pose-offset delta z is applied to the ground map
+    (MLS::offsetMap dataflow: graph_slam.cpp:357-384 publishes the newest
+    node's delta, local_mapper.cpp:48-51 shifts its map's z content by it,
+    mls.cpp:481-505) — so a loop closure's z correction reaches the next
+    tick's wheel-contact height interpolation, which reads this map."""
+    from slam_tpu.pipeline.slam2d import graph_update_delta
 
     if isinstance(ground_map, PointCloud):
         ground_map = GroundMap(grid=init_point_map(cfg.mls.size_x, cfg.icp.voxel_leaf_obs[0]),
@@ -502,7 +525,8 @@ def rollout_3d_with_graph(state: SlamState, world: World3D,
             return (ss, g), (ss.pose, ss.true_pose)
 
         (s, gm), traj = jax.lax.scan(tick, (s, gm), None, length=graph_every)
-        s = graph_update(s, cfg)
+        s, delta = graph_update_delta(s, cfg)
+        gm = apply_graph_offset(gm, delta)
         return (s, gm), traj
 
     (final, gm), traj = jax.lax.scan(macro, (state, ground_map), None,

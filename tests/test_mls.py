@@ -171,3 +171,29 @@ def test_shift_translates_cluster_means_to_new_frame():
     assert abs(float(g2.mean[i2, j2, k2, 0]) - (-1.0)) < 1e-5, \
         float(g2.mean[i2, j2, k2, 0])
     assert abs(float(g2.mean[i2, j2, k2, 2]) - 0.5) < 1e-5  # z frame-free
+
+
+def test_offset_mls_z_shifts_only_existing_cluster_means():
+    """MLS::offsetMap (mls.cpp:481-505): +dz on every existing cluster's
+    mean z; uninitialized bank slots, variance, counts, and drivability
+    untouched."""
+    from slam_tpu.mapping.mls import offset_mls_z
+
+    cfg = cfg_small()
+    grid = init_mls(cfg)
+    cloud = _cloud_at([(0.0, 0.0), (2.0, 1.0)], [0.0, 1.5])
+    grid = add_to_mls(grid, cloud, cfg)
+    dz = 0.37
+    g2 = offset_mls_z(grid, jnp.float32(dz))
+
+    exists = np.asarray(grid.num_pts) > 0
+    assert exists.any()
+    dmean = np.asarray(g2.mean) - np.asarray(grid.mean)
+    np.testing.assert_allclose(dmean[exists][:, 2], dz, atol=1e-6)
+    np.testing.assert_allclose(dmean[exists][:, :2], 0.0, atol=0.0)
+    np.testing.assert_allclose(dmean[~exists], 0.0, atol=0.0)
+    np.testing.assert_array_equal(np.asarray(g2.var_z), np.asarray(grid.var_z))
+    np.testing.assert_array_equal(np.asarray(g2.num_pts),
+                                  np.asarray(grid.num_pts))
+    np.testing.assert_array_equal(np.asarray(g2.drivable),
+                                  np.asarray(grid.drivable))

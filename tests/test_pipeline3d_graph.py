@@ -70,3 +70,56 @@ def test_graph_z_chain_bounded_after_optimization():
     nz_err = np.abs(node[:, 3] - true_z)
     assert nz_err.mean() < 0.2, f"node z mean err {nz_err.mean():.3f} m"
     assert nz_err.max() < 0.6, f"node z worst err {nz_err.max():.3f} m"
+
+
+def test_offsetmap_z_correction_reaches_height_interpolation():
+    """VERDICT r3 item 3 (MLS::offsetMap): a loop closure's z correction must
+    reach the next tick's wheel-contact height interpolation. Chain under
+    test = the exact functions the graph rollout composes: pose_graph.optimize
+    yields the newest-node delta (graph_slam.cpp:357-384), apply_graph_offset
+    shifts the ground store (local_mapper.cpp:48-51 -> mls.cpp:481-505), and
+    height_interpolate_grid reads the shifted surface."""
+    from slam_tpu.graph import pose_graph as pg
+    from slam_tpu.mapping.point_map import init_point_map, update_point_map
+    from slam_tpu.ops.height import height_interpolate_grid
+
+    cfg = sim3d_config()
+    g = pg.init_graph(cfg.graph)
+    # two keyframes; stored node-1 z is 0 but a loop-closure-grade edge
+    # measures dz = +0.5 -> the optimizer must lift node 1 by ~0.5
+    node_pose = g.node_pose.at[0].set(jnp.array([0.0, 0.0, 0.0, 0.0]))
+    node_pose = node_pose.at[1].set(jnp.array([6.0, 0.0, 0.0, 0.0]))
+    g = g.replace(
+        node_pose=node_pose,
+        node_valid=g.node_valid.at[:2].set(True),
+        node_stamp=g.node_stamp.at[0].set(0).at[1].set(1),
+        num_nodes=jnp.int32(2),
+        edge_ij=g.edge_ij.at[0].set(jnp.array([0, 1])),
+        edge_rel=g.edge_rel.at[0].set(jnp.array([6.0, 0.0, 0.0, 0.5])),
+        edge_info=g.edge_info.at[0].set(jnp.eye(4)),
+        edge_valid=g.edge_valid.at[0].set(True),
+        num_edges=jnp.int32(1))
+    _, delta = pg.optimize(g, cfg.graph)
+    dz = float(delta[3])
+    assert abs(dz - 0.5) < 0.02, f"optimizer z delta {dz} (expected ~0.5)"
+    assert abs(float(delta[0])) < 1e-3 and abs(float(delta[2])) < 1e-5
+
+    # flat ground store at z=0 under the robot
+    res = cfg.icp.voxel_leaf_obs[0]
+    xs, ys = np.meshgrid(np.arange(-4, 4.01, 0.25),
+                         np.arange(-4, 4.01, 0.25))
+    pts = np.stack([xs.ravel(), ys.ravel(),
+                    np.zeros(xs.size)], -1).astype(np.float32)
+    grid = update_point_map(init_point_map(cfg.mls.size_x, res),
+                            jnp.asarray(pts), jnp.ones(len(pts), bool), res)
+    gm = slam3d.GroundMap(grid=grid, cloud=make_cloud(64))
+    pose = jnp.array([0.0, 0.0, 0.0, cfg.height.robot_height])
+
+    z_before = float(height_interpolate_grid(gm.grid, pose, cfg.height))
+    gm2 = slam3d.apply_graph_offset(gm, delta)
+    z_after = float(height_interpolate_grid(gm2.grid, pose, cfg.height))
+    assert abs((z_after - z_before) - dz) < 1e-5, (z_before, z_after, dz)
+    # exported-cloud shadow shifts too (mls.cpp global_cloud branch)
+    assert np.allclose(np.asarray(gm2.cloud.xyz[:, 2]),
+                       np.asarray(gm.cloud.xyz[:, 2])
+                       + dz * np.asarray(gm.cloud.valid))

@@ -89,3 +89,27 @@ def test_dense_map_export_keeps_top_count_cells():
         if np.any(np.all(np.abs(got - w) < 0.2, axis=1)):
             hits += 1
     assert hits >= 0.9 * 128, f"only {hits}/128 hot cells survived export"
+
+
+def test_offset_point_map_z_matches_per_point_shift():
+    """offset_point_map_z(grid, dz) must equal rebuilding the map from the
+    same points shifted by dz (MLS::offsetMap semantics on the centroid
+    accumulators): sum_z + dz*count is the exact per-point shift."""
+    from slam_tpu.mapping.point_map import offset_point_map_z
+
+    rng = np.random.default_rng(3)
+    pts = rng.uniform(-6, 6, (50, 3)).astype(np.float32)
+    dz = 0.85
+    g = update_point_map(init_point_map(64), jnp.asarray(pts),
+                         jnp.ones(50, bool), 0.5)
+    g_off = offset_point_map_z(g, jnp.float32(dz))
+    shifted = pts + np.array([0, 0, dz], np.float32)
+    g_ref = update_point_map(init_point_map(64), jnp.asarray(shifted),
+                             jnp.ones(50, bool), 0.5)
+    np.testing.assert_allclose(np.asarray(g_off.sum_z),
+                               np.asarray(g_ref.sum_z), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(g_off.count),
+                                  np.asarray(g_ref.count))
+    # empty cells stay exactly zero
+    np.testing.assert_array_equal(
+        np.asarray(g_off.sum_z)[np.asarray(g.count) == 0], 0.0)
