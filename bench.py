@@ -288,9 +288,12 @@ def bench_graph(batch, steps, repeats):
 
 
 def bench_fleet_pf_shared(batch, steps, repeats):
-    """Config 5: particle-filter scan matching + psum-shared fleet map."""
+    """Config 5: particle-filter scan matching against ONE shared fleet map
+    (parallel.shared_map.fleet_rollout_shared — the matcher reads a single
+    replicated grid; per-robot copies are never materialized)."""
     from slam_tpu.config import sim2d_config
-    from slam_tpu.parallel.shared_map import merge_maps
+    from slam_tpu.mapping.point_map import init_point_map
+    from slam_tpu.parallel.shared_map import fleet_rollout_shared
     from slam_tpu.pipeline import slam2d
     from slam_tpu.sim import world2d
 
@@ -299,26 +302,21 @@ def bench_fleet_pf_shared(batch, steps, repeats):
     world = world2d.make_world(jax.random.PRNGKey(42), cfg.sim)
     keys = jax.random.split(jax.random.PRNGKey(0), batch)
     states = jax.vmap(lambda k: slam2d.init_state(k, cfg))(keys)
+    # drop the private grids BEFORE jit so the repeat calls keep one pytree
+    # structure (fleet_rollout_shared would drop them internally, but then
+    # the second timed call would retrace on the changed structure)
+    states = states.replace(map_grid=None)
+    shared = init_point_map(cfg.mls.size_x, cfg.icp.voxel_leaf_obs[0])
     n_macro = max(1, steps // 4)
 
     @functools.partial(jax.jit, donate_argnums=0)
-    def run_block(s):
-        def macro(ss, _):
-            def ticks(x):
-                def tick(x2, _):
-                    return slam2d.slam_step(x2, world, cfg,
-                                            refresh_map=False,
-                                            shift_maps=False), None
-                return jax.lax.scan(tick, x, None, length=4)[0]
-            ss = jax.vmap(ticks)(ss)
-            merged = merge_maps(ss.map_grid)
-            shared = jax.tree.map(
-                lambda m: jnp.broadcast_to(m[None], (batch,) + m.shape),
-                merged)
-            return ss.replace(map_grid=shared), None
-        return jax.lax.scan(macro, s, None, length=n_macro)[0]
+    def run_block(carry):
+        s, sh = carry
+        s, sh, _traj = fleet_rollout_shared(s, sh, world, cfg, n_macro)
+        return (s, sh)
 
-    return _timed_rate(run_block, states, batch, 4 * n_macro, repeats)
+    return _timed_rate(run_block, (states, shared), batch, 4 * n_macro,
+                       repeats)
 
 
 def _await_backend():

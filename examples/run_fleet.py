@@ -56,9 +56,39 @@ def main():
         k, cfg, with_metrics_ring=use_ring,
         metrics_ring_capacity=max(32, 2 * args.steps)))(keys)
 
+    if args.shared_map and (args.matcher or cfg.icp.matcher) == "particle":
+        # BASELINE config 5 proper: ONE shared grid, read replicated by the
+        # particle matcher (pf_target) — no per-robot copies
+        from slam_tpu.mapping.point_map import init_point_map
+        from slam_tpu.parallel.shared_map import fleet_rollout_shared
+
+        n_macro = max(1, -(-args.steps // 4))
+        executed = 4 * n_macro
+        shared0 = init_point_map(cfg.mls.size_x, cfg.icp.voxel_leaf_obs[0])
+
+        run_shared = jax.jit(lambda s, sh: fleet_rollout_shared(
+            s, sh, world, cfg, n_macro)[:2])
+
+        states = states.replace(map_grid=None)
+        states, shared = run_shared(states, shared0)
+        jax.block_until_ready(states.pose)
+        t = Throughput(batch=args.batch)
+        states, shared = run_shared(states, shared)
+        jax.block_until_ready(states.pose)
+        t.tick(executed)
+        err = np.linalg.norm(
+            np.asarray(states.pose[:, :2] - states.true_pose[:, :2]), axis=1)
+        print(f"{t.robot_steps_per_sec:,.0f} robot-steps/s on "
+              f"{jax.default_backend()}  |  fleet median xy error "
+              f"{np.median(err):.3f} m  |  icp ok "
+              f"{int(states.scan_reg_ok.sum())}/{args.batch}")
+        return
+
     if args.shared_map:
-        # BASELINE config 5: world-aligned per-robot grids, psum-merged into
-        # one shared map each 4-tick macro
+        # shared map for cloud-target matchers (fused/points): per-robot
+        # grids psum-merged each macro, the TARGET cloud re-exported from
+        # the merged grid. (The particle path above avoids the broadcast
+        # entirely; these matchers still need map_cloud per robot.)
         import jax.numpy as jnp
 
         from slam_tpu.mapping.point_map import export_points

@@ -434,14 +434,21 @@ def _pad_plane(p, mult, fill):
 
 
 def _fit_block(n: int, blk_cap: int, mult: int) -> int:
-    """Block size <= blk_cap (a `mult` multiple) minimizing pad waste: keep
-    the block COUNT the cap implies, shrink the block to just cover n.
-    n=2100, cap 2048 -> 2 blocks of 1152 (pad 204) instead of 2 of 2048
-    (pad 1996) — up to ~2x of the distance-tile work was padding for sizes
-    just above a block multiple."""
+    """Block size <= blk_cap (a `mult` multiple) minimizing padded distance
+    work: pick the `mult`-multiple block whose ceil(n/blk)*blk total is
+    smallest, tie-broken to the LARGEST block (fewest per-block merge
+    passes). n=384, cap 256 -> one-pass choice was 256 (pad 128, 25% waste);
+    this picks 128 (pad 0). n=2100, cap 2048 -> 128 (pad 76) instead of
+    1152 (pad 204)."""
+    assert blk_cap % mult == 0, (
+        f"blk_cap {blk_cap} must be a {mult}-multiple: the kernel's lane-dim "
+        f"pl.ds starts are only provably aligned for {mult}-multiple blocks")
     n = max(n, mult)
-    nb = -(-n // blk_cap)
-    return min(blk_cap, -(-(-(-n // nb)) // mult) * mult)
+    if n >= blk_cap:
+        candidates = range(mult, blk_cap + 1, mult)
+    else:
+        candidates = range(mult, -(-n // mult) * mult + 1, mult)
+    return min(candidates, key=lambda blk: (-(-n // blk) * blk, -blk))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "s_blk", "c_blk"))

@@ -60,3 +60,13 @@ def test_run_live_consumes_most_frames(capsys):
     m = re.search(r"consumed (\d+) live frames", out)
     assert m, out
     assert int(m.group(1)) >= 15, out
+
+
+def test_run_fleet_particle_shared_map(capsys):
+    # config 5 proper: particle matcher against the ONE shared grid
+    # (fleet_rollout_shared, no per-robot map copies)
+    out = _drive("run_fleet.py",
+                 ["--batch", "8", "--steps", "12", "--shared-map",
+                  "--matcher", "particle"], capsys)
+    assert "robot-steps/s" in out and "nan" not in out.lower()
+    assert "icp ok 8/8" in out, out
