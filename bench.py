@@ -216,16 +216,25 @@ def bench_ref_scale(batch, steps, repeats):
 
 
 def bench_mls_reloc(batch, steps, repeats):
-    """Config 3: MLS cluster mapping + FFT correlative relocalization in the
-    loop. Each 4-tick macro runs the standard fused loop, folds the latest
-    scene into the MLS cluster grid (local_mapper role, mls.cpp:34-53), and
-    runs one FFT global match + EKF shift (global_matching role)."""
+    """Config 3: MLS cluster mapping with FAILURE-GATED FFT relocalization.
+
+    Each 4-tick macro runs the standard fused loop and folds the latest
+    scene into the MLS cluster grid (local_mapper role, mls.cpp:34-53).
+    Relocalization runs at the reference's cadence — a recovery path, not a
+    steady-state stage (global_match.cpp:199-221 counts failures; the node
+    ships disabled): fleet_relocalize_if_lost branches at the BATCH level,
+    so healthy macros skip the FFT search at runtime. To keep the recovery
+    path honestly in the measurement, each timed block kidnaps one robot's
+    belief mid-block (an 8 m + 1.2 rad teleport) and flags it lost at that
+    macro — the reference's operator-enable semantics (a wrong-but-locked
+    registration does not trip its w==9999 degeneracy sentinel either) —
+    so that macro pays a real vmapped FFT match + EKF shift that must
+    recover the robot."""
     from slam_tpu.config import sim2d_config
     from slam_tpu.geometry import se2_apply
     from slam_tpu.mapping.mls import add_to_mls, init_mls
     from slam_tpu.pipeline import slam2d
-    from slam_tpu.pipeline.relocalize import (apply_relocalization,
-                                              relocalize)
+    from slam_tpu.pipeline.relocalize import fleet_relocalize_if_lost
     from slam_tpu.sim import world2d
     from slam_tpu.types import PointCloud
 
@@ -237,25 +246,36 @@ def bench_mls_reloc(batch, steps, repeats):
     states = jax.vmap(lambda k: slam2d.init_state(k, cfg))(keys)
     grids = jax.vmap(lambda _: init_mls(cfg.mls))(jnp.arange(batch))
     n_macro = max(1, steps // 4)
+    kidnap_at = n_macro // 2
+    robot0 = (jnp.arange(batch) == 0).astype(jnp.float32)
 
     @functools.partial(jax.jit, donate_argnums=0)
     def run_block(carry):
-        def one(s, mg):
-            def macro(c, _):
-                s2, mg2 = c
-                s2, _ = slam2d.rollout(s2, world, cfg, 4)
-                scene = s2.prev_scene
-                xy = se2_apply(s2.pose[:3], scene.xyz[..., :2])
-                cloud = PointCloud(
-                    xyz=jnp.concatenate([xy, scene.xyz[..., 2:]], -1),
-                    valid=scene.valid, flags=scene.flags)
-                mg2 = add_to_mls(mg2, cloud, cfg.mls)
-                m = relocalize(s2, scene, cfg)
-                s2 = apply_relocalization(s2, m)
-                return (s2, mg2), None
-            (s, mg), _ = jax.lax.scan(macro, (s, mg), None, length=n_macro)
-            return s, mg
-        return jax.vmap(one)(*carry)
+        def macro(c, i):
+            s2, mg2 = c
+            # belief teleport of robot 0 once per block + explicit lost flag
+            # at that macro (see docstring)
+            kid = i == kidnap_at
+            kick = jnp.where(kid, 1.0, 0.0) * robot0
+            s2 = s2.replace(
+                ekf=s2.ekf.replace(
+                    mu=s2.ekf.mu.at[:, 0].add(8.0 * kick)
+                    .at[:, 1].add(-5.0 * kick).at[:, 6].add(1.2 * kick)),
+                pose=s2.pose.at[:, 0].add(8.0 * kick)
+                .at[:, 1].add(-5.0 * kick).at[:, 2].add(1.2 * kick))
+            s2, _ = jax.vmap(lambda x: slam2d.rollout(x, world, cfg, 4))(s2)
+            scene = s2.prev_scene
+            xy = jax.vmap(se2_apply)(s2.pose[:, :3], scene.xyz[..., :2])
+            cloud = PointCloud(
+                xyz=jnp.concatenate([xy, scene.xyz[..., 2:]], -1),
+                valid=scene.valid, flags=scene.flags)
+            mg2 = jax.vmap(lambda g, cl: add_to_mls(g, cl, cfg.mls))(
+                mg2, cloud)
+            lost = ~s2.scan_reg_ok | (kid & (robot0 > 0))
+            s2 = fleet_relocalize_if_lost(s2, cfg, lost=lost)
+            return (s2, mg2), None
+
+        return jax.lax.scan(macro, carry, jnp.arange(n_macro))[0]
 
     return _timed_rate(run_block, (states, grids), batch, 4 * n_macro,
                        repeats)

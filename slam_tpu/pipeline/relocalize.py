@@ -100,3 +100,37 @@ def apply_relocalization_graph(state: SlamState, match: MatchResult,
                                     cfg.icp.voxel_leaf_obs),
         lambda g: state.map_cloud, graph)
     return state.replace(graph=graph, map_cloud=map_cloud)
+
+
+def fleet_relocalize_if_lost(states: SlamState, cfg: SlamConfig,
+                             lost: jnp.ndarray | None = None) -> SlamState:
+    """Failure-gated fleet relocalization — the reference's cadence, made a
+    batch-level branch.
+
+    Relocalization is a RECOVERY path, not a steady-state stage: the
+    reference ships global_matching disabled (CATKIN_IGNORE), and its node
+    counts consecutive FAILURES toward a fallback (global_match.cpp:199-221)
+    — a healthy robot never pays for it. Running the FFT search every macro
+    for every robot made BASELINE config 3 ~580x slower than config 1
+    (BENCH_r03). Here the expensive vmapped search runs under a lax.cond on
+    the BATCH-level predicate "is any robot lost" — real control flow under
+    jit (the gate sits above the vmap), so a healthy fleet skips the whole
+    branch at runtime and only macros containing a lost robot pay.
+
+    lost: (B,) bool — per-robot lost signal; defaults to the ICP failure
+    sentinel of the last tick (~scan_reg_ok, the orientation.w==9999
+    analogue, scan_registration.cpp:161-165). A match is applied only to
+    lost robots; healthy robots' states pass through bit-identically.
+    """
+    if lost is None:
+        lost = ~states.scan_reg_ok
+
+    def do_reloc(ss):
+        def one(s, is_lost):
+            m = relocalize(s, s.prev_scene, cfg)
+            m = m._replace(ok=m.ok & is_lost)
+            return apply_relocalization(s, m)
+
+        return jax.vmap(one)(ss, lost)
+
+    return jax.lax.cond(jnp.any(lost), do_reloc, lambda ss: ss, states)

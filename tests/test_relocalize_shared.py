@@ -167,3 +167,44 @@ def test_fallback_publishes_prior_after_max_failures():
     np.testing.assert_allclose(np.asarray(match.pose),
                                np.asarray(st.pose[:3]))
     assert int(failures) == 0  # counter reset after the fallback
+
+
+def test_fleet_relocalize_if_lost_gates_and_recovers():
+    """fleet_relocalize_if_lost (config 3's failure-gated cadence): a healthy
+    fleet passes through bit-identically (the FFT branch is skipped at
+    runtime — batch-level lax.cond), and with one lost robot only that robot
+    is relocalized while healthy robots' states stay untouched."""
+    from slam_tpu.pipeline.relocalize import fleet_relocalize_if_lost
+
+    cfg = _cfg()
+    world = world2d.make_world(jax.random.PRNGKey(42), cfg.sim)
+    B = 3
+    keys = jax.random.split(jax.random.PRNGKey(5), B)
+    states = jax.vmap(lambda k: slam2d.init_state(k, cfg))(keys)
+    states, _ = jax.vmap(lambda s: slam2d.rollout(s, world, cfg, 60))(states)
+
+    run = jax.jit(lambda s: fleet_relocalize_if_lost(s, cfg))
+
+    # healthy fleet: identity
+    healthy = states.replace(scan_reg_ok=jnp.ones(B, bool))
+    out = run(healthy)
+    np.testing.assert_array_equal(np.asarray(out.ekf.mu),
+                                  np.asarray(healthy.ekf.mu))
+    np.testing.assert_array_equal(np.asarray(out.pose),
+                                  np.asarray(healthy.pose))
+
+    # kidnap robot 1's belief; flag it lost
+    mu = healthy.ekf.mu.at[1, 0].add(8.0).at[1, 1].add(-5.0)
+    lost = healthy.replace(
+        ekf=healthy.ekf.replace(mu=mu),
+        pose=healthy.pose.at[1, 0].add(8.0).at[1, 1].add(-5.0),
+        scan_reg_ok=jnp.asarray([True, False, True]))
+    out = run(lost)
+    true1 = np.asarray(lost.true_pose[1, :2])
+    got1 = np.asarray(out.ekf.mu[1, :2])
+    assert np.linalg.norm(got1 - true1) < 0.8, (got1, true1)
+    for r in (0, 2):  # healthy robots untouched
+        np.testing.assert_array_equal(np.asarray(out.ekf.mu[r]),
+                                      np.asarray(lost.ekf.mu[r]))
+        np.testing.assert_array_equal(np.asarray(out.pose[r]),
+                                      np.asarray(lost.pose[r]))
