@@ -215,6 +215,27 @@ def bench_ref_scale(batch, steps, repeats):
     return best, ate_cm
 
 
+def bench_parity_onchip():
+    """BASELINE.md's accuracy criterion measured ON-CHIP (VERDICT r3 item 1):
+    the 2D parity rollout (exact top_k export, points matcher — the test's
+    own parity_cfg) against the sequential f64 reference oracle, fed
+    identical frames, on whatever backend the bench runs on. Returns ATE in
+    cm (frames 5+, RMSE) — the number tests/test_reference_parity.py bounds
+    at 1 cm."""
+    import numpy as np
+
+    from tests import test_reference_parity as tp
+
+    cfg = tp.parity_cfg()
+    from slam_tpu.sim import world2d
+    world = world2d.make_world(jax.random.PRNGKey(42), cfg.sim)
+    frames = tp._render_frames(cfg, world, 40)
+    ref = tp.oracle_slam(cfg, frames)
+    got = tp.ours_slam(cfg, frames)
+    err = np.linalg.norm(got[:, :2] - ref[:, :2], axis=1)
+    return float(np.sqrt(np.mean(err[5:] ** 2))) * 100.0
+
+
 def bench_mls_reloc(batch, steps, repeats):
     """Config 3: MLS cluster mapping with FAILURE-GATED FFT relocalization.
 
@@ -417,6 +438,7 @@ def main():
                   ref_scale_rate)
         try_extra("config3_mls_reloc_steps_per_sec_b128", bench_mls_reloc,
                   128, args.steps, args.repeats)
+        try_extra("parity_ate_cm_onchip", bench_parity_onchip)
 
     if args.pipeline == "3d":
         print(json.dumps({

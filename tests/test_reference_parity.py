@@ -191,36 +191,46 @@ def ours_slam(cfg, frames):
     return np.array(traj)
 
 
-def test_pipeline_matches_reference_oracle():
+def parity_cfg():
+    """The parity configuration — shared with bench.py's on-chip parity
+    measurement (bench_parity_onchip), so the test and the driver artifact
+    measure the identical setup.
+
+    beam range kept inside the scene/map grid extent (+-48 m): beams beyond
+    it are masked by our fixed grids but kept by the unbounded oracle.
+
+    export_recall=1.0 (exact top_k map export): the round-2 "2.2 cm TPU
+    gap" was ISOLATED in round 3 to approx_max_k's recall-0.8 export drops
+    randomizing the ICP target per refresh — NOT fp correspondence flips
+    (an oracle ensemble under 1e-6 input jitter self-diffuses ~0, and a
+    CPU emulation of the approximate export reproduces 2.18 cm vs the
+    TPU's measured 2.17 cm, while exact export measures 0.36 cm). With
+    the exact export this parity test holds the centimeter bound on both
+    backends; the throughput default stays recall 0.8 (docs/PERF.md)."""
     c = sim2d_config()
-    # beam range kept inside the scene/map grid extent (+-48 m): beams beyond
-    # it are masked by our fixed grids but kept by the unbounded oracle.
-    #
-    # export_recall=1.0 (exact top_k map export): the round-2 "2.2 cm TPU
-    # gap" was ISOLATED in round 3 to approx_max_k's recall-0.8 export drops
-    # randomizing the ICP target per refresh — NOT fp correspondence flips
-    # (an oracle ensemble under 1e-6 input jitter self-diffuses ~0, and a
-    # CPU emulation of the approximate export reproduces 2.18 cm vs the
-    # TPU's measured 2.17 cm, while exact export measures 0.36 cm). With
-    # the exact export this parity test holds the centimeter bound on both
-    # backends; the throughput default stays recall 0.8 (docs/PERF.md).
-    cfg = dataclasses.replace(
+    return dataclasses.replace(
         c,
         icp=dataclasses.replace(c.icp, matcher="points"),
         cloud=dataclasses.replace(c.cloud, export_recall=1.0),
         sim=dataclasses.replace(c.sim, gyro_noise=0.0, range_noise=0.005,
                                 beam_max_range=45.0),
     )
+
+
+def test_pipeline_matches_reference_oracle():
+    cfg = parity_cfg()
     world = world2d.make_world(jax.random.PRNGKey(42), cfg.sim)
     frames = _render_frames(cfg, world, 40)
     ref = oracle_slam(cfg, frames)
     got = ours_slam(cfg, frames)
     err = np.linalg.norm(got[:, :2] - ref[:, :2], axis=1)
     ate = float(np.sqrt(np.mean(err[5:] ** 2)))
-    # CPU measures 0.36 cm; TPU's different fusion/transcendental ulps get
-    # a 2 cm allowance (VERDICT r2 item 4: limit lowered 0.05 -> 0.02 with
-    # the mechanism isolated; tighten to 0.01 once measured on-chip)
-    limit = 0.01 if jax.default_backend() == "cpu" else 0.02
+    # BASELINE.md's <=1 cm bound holds on BOTH backends with the exact
+    # export: CPU measures 0.36 cm; the real chip measures 0.072 cm
+    # (bench_parity_onchip, identical setup, measured 2026-08-19 — the
+    # round-2 "TPU gap" was entirely the approx_max_k export drops, and
+    # with recall 1.0 nothing TPU-specific remains above noise)
+    limit = 0.01
     assert ate <= limit, f"ATE vs reference oracle {ate*100:.2f} cm"
     dyaw = np.abs(np.arctan2(np.sin(got[:, 2] - ref[:, 2]),
                              np.cos(got[:, 2] - ref[:, 2])))
