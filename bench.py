@@ -212,7 +212,16 @@ def bench_ref_scale(batch, steps, repeats):
     est, true = (np.asarray(t) for t in traj)        # (B, steps, 4) each
     err = est[..., :2] - true[..., :2]
     ate_cm = float(np.sqrt((err ** 2).sum(-1).mean()) * 100.0)
-    return best, ate_cm
+    # standard (SE(2)-aligned, Sturm et al.) ATE alongside the raw number:
+    # raw carries the static frame offset the early map anchor froze in
+    # (one-tick reference-EKF yaw lag — docs/PERF.md round-4 note, measured
+    # raw 6.03 vs aligned 0.96 cm at this working point); aligned measures
+    # the trajectory's actual shape error
+    from slam_tpu.pipeline.slam2d import ate_aligned
+    aligned_cm = float(np.mean([
+        float(ate_aligned(jnp.asarray(est[i]), jnp.asarray(true[i])))
+        for i in range(est.shape[0])])) * 100.0
+    return best, ate_cm, aligned_cm
 
 
 def bench_parity_onchip():
@@ -431,8 +440,10 @@ def main():
                   bench_fleet_pf_shared, args.batch, args.steps,
                   args.repeats)
         def ref_scale_rate():
-            rate, ate_cm = bench_ref_scale(args.batch_scale, 8, args.repeats)
+            rate, ate_cm, aligned_cm = bench_ref_scale(
+                args.batch_scale, 8, args.repeats)
             extra["ref_scale_ate_cm_vs_truth"] = round(ate_cm, 2)
+            extra["ref_scale_ate_cm_aligned"] = round(aligned_cm, 2)
             return rate
         try_extra("ref_scale_20k_steps_per_sec_b%d" % args.batch_scale,
                   ref_scale_rate)

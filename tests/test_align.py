@@ -57,3 +57,28 @@ def test_apply_se2_matches_rigid_recovery():
     yaw = float(jnp.arctan2(res.R[1, 0], res.R[0, 0]))
     assert abs(yaw - 0.8) < 1e-4
     assert float(res.rmse) < 1e-4
+
+
+def test_ate_aligned_removes_static_frame_offset():
+    """ate_aligned (standard Sturm-style ATE): a trajectory reported in a
+    rigidly offset frame — exactly what a frozen early map anchor produces —
+    must score ~its noise level after alignment, while raw ATE charges the
+    full offset at every step."""
+    import numpy as np
+
+    from slam_tpu.pipeline.slam2d import ate, ate_aligned
+
+    rng = np.random.default_rng(0)
+    t = np.linspace(0, 6, 80)
+    true = np.stack([3 * np.cos(t), 2 * np.sin(1.3 * t)], -1)
+    th, off = 0.02, np.array([0.05, -0.03])   # static frame offset
+    R = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+    est = true @ R.T + off + rng.normal(0, 0.002, true.shape)
+
+    raw = float(ate(jnp.asarray(est), jnp.asarray(true)))
+    aligned = float(ate_aligned(jnp.asarray(est), jnp.asarray(true)))
+    assert raw > 0.05, raw                     # the offset dominates raw
+    assert aligned < 0.004, aligned            # alignment leaves only noise
+    # identity case: alignment of an already-aligned trajectory is a no-op
+    same = float(ate_aligned(jnp.asarray(true), jnp.asarray(true)))
+    assert same < 1e-5

@@ -12,9 +12,13 @@ Oracle chain per frame — the reference call stack of SURVEY.md §3.1:
   wheel-contact height interpolation (icpTools.cpp:301-419) -> obstacle /
   ground centroid maps.
 
-Asserted: planar ATE <= 3 cm, |z error| <= 3 cm, yaw <= 0.02 rad after
-warmup (the 2D slice holds <= 1 cm; the 3D path adds segmentation and
-height chains with their own f32 accumulation).
+Asserted: planar ATE <= 1 cm, |z error| <= 1.5 cm, yaw <= 0.005 rad after
+warmup. Round-4 measurement: planar <5 um(!), z max 0.584 cm, yaw ~0 — at
+BOTH export recalls (0.8/1.0): registration engages from frame 1 (verified
+explicitly) and the batched f32 chain lands on the oracle's fixed points
+almost exactly on this fixture, so the old 3 cm bounds were pure slack
+(VERDICT r3 item 9). The bounds keep margin for backend/fusion variation
+while enforcing the BASELINE-grade centimeter criterion.
 """
 
 import dataclasses
@@ -268,9 +272,9 @@ def test_3d_pipeline_matches_reference_oracle():
     warm = 5
     err = np.linalg.norm(got[warm:, :2] - ref[warm:, :2], axis=1)
     ate = float(np.sqrt(np.mean(err ** 2)))
-    assert ate <= 0.03, f"3D planar ATE vs oracle {ate*100:.2f} cm"
+    assert ate <= 0.01, f"3D planar ATE vs oracle {ate*100:.2f} cm"
     dyaw = np.abs(np.arctan2(np.sin(got[warm:, 2] - ref[warm:, 2]),
                              np.cos(got[warm:, 2] - ref[warm:, 2])))
-    assert dyaw.max() <= 0.02, f"yaw dev {dyaw.max():.4f}"
+    assert dyaw.max() <= 0.005, f"yaw dev {dyaw.max():.4f}"
     dz = np.abs(got[warm:, 3] - ref[warm:, 3])
-    assert dz.max() <= 0.03, f"z dev {dz.max()*100:.2f} cm"
+    assert dz.max() <= 0.015, f"z dev {dz.max()*100:.2f} cm"
