@@ -359,7 +359,14 @@ def bench_fleet_pf_shared(batch, steps, repeats):
     shared = init_point_map(cfg.mls.size_x, cfg.icp.voxel_leaf_obs[0])
     n_macro = max(1, steps // 4)
 
-    @functools.partial(jax.jit, donate_argnums=0)
+    # NO donation: donating this carry trips an axon-backend
+    # INVALID_ARGUMENT at execution (isolated 2026-08-19: the identical
+    # program runs fine undonated at any macro count / call count; it fails
+    # with donate_argnums whatever the size — suspected aliasing bug around
+    # the unbatched shared grid that is both scan-carry input and output).
+    # Donation is also no longer needed: the per-robot grids left the
+    # carry, so the state is ~100 KB/robot.
+    @jax.jit
     def run_block(carry):
         s, sh = carry
         s, sh, _traj = fleet_rollout_shared(s, sh, world, cfg, n_macro)

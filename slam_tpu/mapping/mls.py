@@ -79,6 +79,49 @@ def shift_origin_mls(grid: MlsGrid, new_center_xy: jnp.ndarray,
                         center=center)
 
 
+def _first_true(mask: jnp.ndarray) -> jnp.ndarray:
+    """One-hot of the first True along the (tiny) K axis; all-zero if none.
+
+    The branch-free replacement for argmax + per-cell dynamic indexing:
+    a (H, W)-indexed gather/scatter into the K bank lowers to a serialized
+    TPU scatter (~35 ns/element -> ~1.4 ms per 200^2 grid op, x11 ops x
+    batch in the old add_to_mls = the whole config-3 budget)."""
+    return mask & (jnp.cumsum(mask, axis=-1) == 1)
+
+
+def _shift_k(onehot: jnp.ndarray) -> jnp.ndarray:
+    """One-hot moved one slot up the K axis (slot i -> i+1; top slot drops
+    out, so 'next cluster of the last slot' reads as no-cluster)."""
+    return jnp.concatenate(
+        [jnp.zeros_like(onehot[..., :1]), onehot[..., :-1]], axis=-1)
+
+
+def _pick(arr: jnp.ndarray, onehot: jnp.ndarray) -> jnp.ndarray:
+    """arr at the one-hot slot, as a masked sum (exact: <=1 nonzero term);
+    0 where the one-hot is empty."""
+    return jnp.where(onehot, arr, 0).sum(-1)
+
+
+def _sort_k(key: jnp.ndarray, arrs):
+    """Stable ascending sort along the K (minor, tiny) axis by `key`,
+    applied to every array in `arrs`.
+
+    Rank one-hot permutation instead of argsort + K take_along_axis
+    gathers: K=4 makes the K^2 comparison network ~16 elementwise ops per
+    cell, all VPU-friendly; the permutation apply is an exact 0/1 einsum.
+    `key` may contain inf (empty-slot sentinel); arrs must be FINITE
+    (0 * inf = NaN would poison the whole row's sums)."""
+    K = key.shape[-1]
+    ki = key[..., :, None]
+    kj = key[..., None, :]
+    idx = jnp.arange(K)
+    before = (kj < ki) | ((kj == ki) & (idx[None, :] < idx[:, None]))
+    rank = before.sum(-1)                       # target slot of element i
+    P = (rank[..., None] == idx)                # (..., K_in, K_out)
+    return [jnp.einsum("...io,...i->...o", P.astype(a.dtype), a)
+            for a in arrs]
+
+
 def _associate(grid: MlsGrid, cx, cy, z, inb, cfg: MlsConfig):
     """Phase A: per-point cluster slot (mls.cpp:158-197). Returns slot in
     [0, K] where K means 'new cluster'."""
@@ -179,66 +222,54 @@ def add_to_mls(grid: MlsGrid, cloud: PointCloud, cfg: MlsConfig) -> MlsGrid:
                       jnp.maximum(var_m, cfg.min_var_z), grid.var_z)
     num = jnp.where(upd, n1, n0)
 
-    # Phase C2: spawn one new cluster per cell from unmatched points
+    # Phase C2: spawn one new cluster per cell from unmatched points.
+    # First-empty-slot one-hot instead of argmax + per-cell scatter (see
+    # _first_true): put is all-zero where the bank is full (mls.cpp:189-192).
     spawn = c_new > 0
-    empty_slot = jnp.argmax(grid.num_pts <= 0, axis=-1)            # (H, W)
-    has_empty = jnp.any(grid.num_pts <= 0, axis=-1)
-    do = spawn & has_empty
-    ii = jnp.arange(H)[:, None] + jnp.zeros((1, W), jnp.int32)
-    jj = jnp.arange(W)[None, :] + jnp.zeros((H, 1), jnp.int32)
+    put = spawn[..., None] & _first_true(grid.num_pts <= 0)
     nm_x = sx[..., K] / jnp.maximum(c_new, 1e-9)
     nm_y = sy[..., K] / jnp.maximum(c_new, 1e-9)
     nm_z = sz[..., K] / jnp.maximum(c_new, 1e-9)
     nv = jnp.maximum(szz[..., K] / jnp.maximum(c_new, 1e-9) - nm_z**2,
                      cfg.min_var_z)
-    sel = (ii, jj, empty_slot)
-    mean_x = mean_x.at[sel].set(jnp.where(do, nm_x, mean_x[sel]))
-    mean_y = mean_y.at[sel].set(jnp.where(do, nm_y, mean_y[sel]))
-    mean_z = mean_z.at[sel].set(jnp.where(do, nm_z, mean_z[sel]))
-    var_z = var_z.at[sel].set(jnp.where(do, nv, var_z[sel]))
-    num = num.at[sel].set(jnp.where(
-        do, jnp.minimum(c_new, cfg.max_cluster_points), num[sel]))
+    mean_x = jnp.where(put, nm_x[..., None], mean_x)
+    mean_y = jnp.where(put, nm_y[..., None], mean_y)
+    mean_z = jnp.where(put, nm_z[..., None], mean_z)
+    var_z = jnp.where(put, nv[..., None], var_z)
+    num = jnp.where(
+        put, jnp.minimum(c_new, cfg.max_cluster_points)[..., None], num)
 
     # re-sort clusters by mean z (empty slots last; mls.cpp:236)
     key = jnp.where(num > 0, mean_z, jnp.inf)
-    order = jnp.argsort(key, axis=-1)
-    g = lambda a: jnp.take_along_axis(a, order, axis=-1)
-    mean_x, mean_y, mean_z, var_z, num = map(g, (mean_x, mean_y, mean_z,
-                                                 var_z, num))
+    mean_x, mean_y, mean_z, var_z, num = _sort_k(
+        key, (mean_x, mean_y, mean_z, var_z, num))
 
     # ground-pair merge (mls.cpp:282-298): if clearance between the ground
     # cluster and the next initialized one is < combine_dist, merge them
     initialized = num >= cfg.min_cluster_points
-    gidx = jnp.argmax(initialized, axis=-1)
-    has_g = jnp.any(initialized, axis=-1)
-    gi = (ii, jj, gidx)
-    ni = (ii, jj, jnp.minimum(gidx + 1, K - 1))
-    next_ok = (gidx + 1 < K) & (num[ni] >= cfg.min_cluster_points) & has_g
-    clearance = mean_z[ni] - jnp.sqrt(jnp.maximum(var_z[ni], 0.0)) * 2 - \
-        mean_z[gi]
+    gmask = _first_true(initialized)            # ground-cluster one-hot
+    nmask = _shift_k(gmask)                     # slot gidx+1 (empty if >=K)
+    num_g, num_n = _pick(num, gmask), _pick(num, nmask)
+    next_ok = jnp.any(nmask, -1) & (num_n >= cfg.min_cluster_points)
+    clearance = _pick(mean_z, nmask) - \
+        jnp.sqrt(jnp.maximum(_pick(var_z, nmask), 0.0)) * 2 - \
+        _pick(mean_z, gmask)
     do_merge = next_ok & (clearance < cfg.cluster_combine_dist)
-    ntot = jnp.maximum(num[gi] + num[ni], 1e-9)
-    r0, r1 = num[gi] / ntot, num[ni] / ntot
-    for arr_name, arr in (("x", mean_x), ("y", mean_y), ("z", mean_z)):
-        merged = r0 * arr[gi] + r1 * arr[ni]
-        arr = arr.at[gi].set(jnp.where(do_merge, merged, arr[gi]))
-        if arr_name == "x":
-            mean_x = arr
-        elif arr_name == "y":
-            mean_y = arr
-        else:
-            mean_z = arr
-    var_z = var_z.at[gi].set(jnp.where(
-        do_merge, r0 * var_z[gi] + r1 * var_z[ni], var_z[gi]))
-    num = num.at[gi].set(jnp.where(do_merge, jnp.minimum(
-        num[gi] + num[ni], cfg.max_cluster_points), num[gi]))
-    num = num.at[ni].set(jnp.where(do_merge, 0.0, num[ni]))
+    ntot = jnp.maximum(num_g + num_n, 1e-9)
+    r0, r1 = num_g / ntot, num_n / ntot
+    mg = do_merge[..., None] & gmask
+    mn = do_merge[..., None] & nmask
+    merge1 = lambda a: jnp.where(
+        mg, (r0 * _pick(a, gmask) + r1 * _pick(a, nmask))[..., None], a)
+    mean_x, mean_y, mean_z, var_z = map(merge1,
+                                        (mean_x, mean_y, mean_z, var_z))
+    num = jnp.where(mg, jnp.minimum(
+        num_g + num_n, cfg.max_cluster_points)[..., None], num)
+    num = jnp.where(mn, 0.0, num)
     # keep sorted after removal
     key = jnp.where(num > 0, mean_z, jnp.inf)
-    order = jnp.argsort(key, axis=-1)
-    g = lambda a: jnp.take_along_axis(a, order, axis=-1)
-    mean_x, mean_y, mean_z, var_z, num = map(g, (mean_x, mean_y, mean_z,
-                                                 var_z, num))
+    mean_x, mean_y, mean_z, var_z, num = _sort_k(
+        key, (mean_x, mean_y, mean_z, var_z, num))
 
     mean = jnp.stack([mean_x, mean_y, mean_z], axis=-1)
     grid = grid.replace(mean=mean, var_z=var_z, num_pts=num)
@@ -258,17 +289,16 @@ def _drivability(grid: MlsGrid, touched: jnp.ndarray,
     var_z = grid.var_z
     initialized = num >= cfg.min_cluster_points
     has_g = jnp.any(initialized, axis=-1)
-    gidx = jnp.argmax(initialized, axis=-1)
-    ii = jnp.arange(H)[:, None] + jnp.zeros((1, W), jnp.int32)
-    jj = jnp.arange(W)[None, :] + jnp.zeros((H, 1), jnp.int32)
-    gi = (ii, jj, gidx)
-    ground_z = mean_z[gi]
-    ground_var = var_z[gi]
+    gmask = _first_true(initialized)            # ground-cluster one-hot
+    ground_z = _pick(mean_z, gmask)
+    ground_var = _pick(var_z, gmask)
 
     # intra-cell clearance to the next initialized cluster (mls.cpp:282-303)
-    ni = (ii, jj, jnp.minimum(gidx + 1, K - 1))
-    next_ok = (gidx + 1 < K) & (num[ni] >= cfg.min_cluster_points)
-    clearance = mean_z[ni] - jnp.sqrt(jnp.maximum(var_z[ni], 0.0)) * 2 - ground_z
+    nmask = _shift_k(gmask)
+    next_ok = jnp.any(nmask, -1) & (_pick(num, nmask) >=
+                                    cfg.min_cluster_points)
+    clearance = _pick(mean_z, nmask) - \
+        jnp.sqrt(jnp.maximum(_pick(var_z, nmask), 0.0)) * 2 - ground_z
     blocked_intra = next_ok & (clearance < cfg.drive_dist_threshold)
 
     # neighbor height diff (mls.cpp:307-328): the reference compares the

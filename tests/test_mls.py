@@ -1,5 +1,6 @@
 """MLS cluster-grid behavioral tests (mls.cpp updateCell semantics)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -197,3 +198,43 @@ def test_offset_mls_z_shifts_only_existing_cluster_means():
                                   np.asarray(grid.num_pts))
     np.testing.assert_array_equal(np.asarray(g2.drivable),
                                   np.asarray(grid.drivable))
+
+
+def test_sort_k_matches_stable_argsort():
+    """The rank one-hot permutation (_sort_k) must reproduce the stable
+    argsort + take_along_axis it replaced bit-for-bit, including inf keys
+    (empty slots) and exact ties (duplicate cluster z)."""
+    from slam_tpu.mapping.mls import _sort_k
+
+    key = jax.random.PRNGKey(7)
+    k1, k2 = jax.random.split(key)
+    keys = jax.random.randint(k1, (50, 6, 4), 0, 3).astype(jnp.float32)
+    keys = jnp.where(jax.random.uniform(k2, keys.shape) < 0.3, jnp.inf, keys)
+    vals = jnp.arange(keys.size, dtype=jnp.float32).reshape(keys.shape)
+
+    vals2 = -vals * 0.5
+
+    order = jnp.argsort(keys, axis=-1)  # stable
+    want_v = jnp.take_along_axis(vals, order, axis=-1)
+    want_v2 = jnp.take_along_axis(vals2, order, axis=-1)
+    # note: only the KEY may be inf — sorted arrays must be finite (the 0/1
+    # einsum's 0*inf would be NaN), which production honors (mean/var/num)
+    got_v, got_v2 = _sort_k(keys, (vals, vals2))
+    np.testing.assert_array_equal(np.asarray(want_v), np.asarray(got_v))
+    np.testing.assert_array_equal(np.asarray(want_v2), np.asarray(got_v2))
+
+
+def test_first_true_and_pick():
+    from slam_tpu.mapping.mls import _first_true, _pick, _shift_k
+
+    m = jnp.array([[False, True, True, False],
+                   [False, False, False, False],
+                   [True, False, False, True]])
+    f = _first_true(m)
+    np.testing.assert_array_equal(
+        np.asarray(f), [[0, 1, 0, 0], [0, 0, 0, 0], [1, 0, 0, 0]])
+    v = jnp.arange(12, dtype=jnp.float32).reshape(3, 4) + 1
+    np.testing.assert_array_equal(np.asarray(_pick(v, f)), [2.0, 0.0, 9.0])
+    s = _shift_k(f)
+    np.testing.assert_array_equal(
+        np.asarray(s), [[0, 0, 1, 0], [0, 0, 0, 0], [0, 1, 0, 0]])
