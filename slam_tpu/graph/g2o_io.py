@@ -96,6 +96,105 @@ def save_g2o(path: str, graph: PoseGraph, mode: str = "se3",
     return int(nv.sum()), int(ev.sum())
 
 
+def save_g2o_se3(path: str, graph) -> tuple[int, int]:
+    """Lossless VERTEX_SE3:QUAT/EDGE_SE3:QUAT export of an Se3Graph
+    (pose_graph3d) — full rotations, full 6x6 information (vs save_g2o's
+    planar embedding). Returns (n_nodes, n_edges)."""
+    from slam_tpu.graph.pose_graph3d import rot_to_quat
+
+    t = np.asarray(graph.node_t, np.float64)
+    q = np.asarray(rot_to_quat(graph.node_R), np.float64)   # [w x y z]
+    nv = np.asarray(graph.node_valid, bool)
+    eij = np.asarray(graph.edge_ij, np.int64)
+    et = np.asarray(graph.edge_t, np.float64)
+    eq = np.asarray(rot_to_quat(graph.edge_R), np.float64)
+    einfo = np.asarray(graph.edge_info, np.float64)
+    ev = np.asarray(graph.edge_valid, bool)
+
+    lines = []
+    valid_ids = np.flatnonzero(nv)
+    for i in valid_ids:
+        w, x, y, z = q[i]
+        lines.append(
+            f"VERTEX_SE3:QUAT {i} {t[i, 0]:.9g} {t[i, 1]:.9g} {t[i, 2]:.9g} "
+            f"{x:.9g} {y:.9g} {z:.9g} {w:.9g}")
+    if valid_ids.size:
+        lines.append(f"FIX {valid_ids[0]}")
+    for e in np.flatnonzero(ev):
+        i, j = eij[e]
+        w, x, y, z = eq[e]
+        tri = [einfo[e][r, c] for r in range(6) for c in range(r, 6)]
+        lines.append(
+            f"EDGE_SE3:QUAT {i} {j} {et[e, 0]:.9g} {et[e, 1]:.9g} "
+            f"{et[e, 2]:.9g} {x:.9g} {y:.9g} {z:.9g} {w:.9g} "
+            + " ".join(f"{v:.9g}" for v in tri))
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + ("\n" if lines else ""))
+    return int(nv.sum()), int(ev.sum())
+
+
+def load_g2o_se3(path: str, max_nodes: int, max_edges: int):
+    """Parse VERTEX_SE3:QUAT/EDGE_SE3:QUAT lines into an Se3Graph (full
+    6-DoF, no planar projection). Raises on capacity overflow."""
+    import jax.numpy as jnp
+
+    from slam_tpu.graph.pose_graph3d import init_se3_graph, quat_to_rot
+
+    N, E = max_nodes, max_edges
+    node_t = np.zeros((N, 3), np.float32)
+    node_q = np.tile(np.array([1.0, 0, 0, 0], np.float32), (N, 1))
+    node_valid = np.zeros(N, bool)
+    edge_ij = np.zeros((E, 2), np.int32)
+    edge_t = np.zeros((E, 3), np.float32)
+    edge_q = np.tile(np.array([1.0, 0, 0, 0], np.float32), (E, 1))
+    edge_info = np.zeros((E, 6, 6), np.float32)
+    edge_valid = np.zeros(E, bool)
+    n_edges = 0
+
+    with open(path) as f:
+        for line in f:
+            tok = line.split()
+            if not tok or tok[0] in ("FIX", "#"):
+                continue
+            if tok[0] == "VERTEX_SE3:QUAT":
+                i = int(tok[1])
+                if i >= N:
+                    raise ValueError(f"vertex id {i} exceeds "
+                                     f"max_nodes={N}")
+                x, y, z, qx, qy, qz, qw = map(float, tok[2:9])
+                node_t[i] = (x, y, z)
+                node_q[i] = (qw, qx, qy, qz)
+                node_valid[i] = True
+            elif tok[0] == "EDGE_SE3:QUAT":
+                if n_edges >= E:
+                    raise ValueError(f"more than max_edges={E} edges")
+                i, j = int(tok[1]), int(tok[2])
+                x, y, z, qx, qy, qz, qw = map(float, tok[3:10])
+                vals = [float(v) for v in tok[10:31]]
+                M = np.zeros((6, 6))
+                k = 0
+                for r in range(6):
+                    for c in range(r, 6):
+                        M[r, c] = M[c, r] = vals[k]
+                        k += 1
+                edge_ij[n_edges] = (i, j)
+                edge_t[n_edges] = (x, y, z)
+                edge_q[n_edges] = (qw, qx, qy, qz)
+                edge_info[n_edges] = M
+                edge_valid[n_edges] = True
+                n_edges += 1
+
+    g = init_se3_graph(N, E)
+    return g.replace(
+        node_t=jnp.asarray(node_t),
+        node_R=quat_to_rot(jnp.asarray(node_q)),
+        node_valid=jnp.asarray(node_valid),
+        edge_ij=jnp.asarray(edge_ij), edge_t=jnp.asarray(edge_t),
+        edge_R=quat_to_rot(jnp.asarray(edge_q)),
+        edge_info=jnp.asarray(edge_info),
+        edge_valid=jnp.asarray(edge_valid))
+
+
 def load_g2o(path: str, cfg) -> PoseGraph:
     """Parse a g2o text file (SE2 and/or SE3:QUAT lines) into a PoseGraph
     sized by `cfg` (GraphConfig). Keyframe clouds are empty (g2o files
