@@ -169,6 +169,17 @@ class GraphConfig:
     rot_move_thresh: float = 0.2         # graphSlamTools.h:36 edge rejection [rad]
     lm_lambda: float = 1e-4              # LM damping for our batched GN solver
     loop_rate_hz: float = 10.0           # graph_slam.cpp:418
+    # graph optimizer engine:
+    #   "se2z" — SE(2) x z dense GN (pose_graph.optimize; the production
+    #            default — the reference's edges are planar-ICP derived, so
+    #            roll/pitch carry no measurement signal, pose_graph.py:17-21)
+    #   "se3"  — the reference's literal g2o typing (VertexSE3/EdgeSE3,
+    #            graph_slam.cpp:43-49): lift to the SE(3) manifold with the
+    #            6x6 LUM information embedding and solve with the full 6-DoF
+    #            optimizer (pose_graph3d.optimize_planar). On planar edges
+    #            both engines land on the same optimum
+    #            (tests/test_pose_graph3d.py::test_se3_matches_se2z_on_gs_fixture).
+    engine: str = "se2z"
     # scan-to-map target regeneration after each optimization:
     #   "voxel" — keyframe clouds voxel-merged (regenerate_map; centroid
     #             semantics match the MLS means at one cluster/cell, ~6x

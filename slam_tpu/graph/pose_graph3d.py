@@ -379,6 +379,37 @@ def optimize_se3(graph: Se3Graph, iterations: int = 10,
     return graph.replace(node_t=t, node_R=R)
 
 
+def optimize_planar(graph: PoseGraph, cfg) -> tuple[PoseGraph, jnp.ndarray]:
+    """Drop-in replacement for `pose_graph.optimize` that routes the planar
+    production graph through the full SE(3) solver — the reference's literal
+    pipeline typing (its graph is g2o VertexSE3/EdgeSE3 even though every
+    edge comes from planar ICP, graph_slam.cpp:43-49, 179-186). Selected by
+    `GraphConfig.engine = "se3"`.
+
+    Lift (from_planar: yaw -> Rz, 4x4 info -> 6x6 LUM embedding with
+    roll/pitch pinned), optimize on the manifold, project back to
+    (x, y, yaw, z), and return the newest-node pre/post delta exactly like
+    the SE(2) x z path (graph_slam.cpp:357-384)."""
+    from slam_tpu.geometry import angle_wrap
+    from slam_tpu.graph.pose_graph import newest_node
+
+    last, _ = newest_node(graph)
+    pre_last = graph.node_pose[last]
+
+    se3 = from_planar(graph)
+    se3 = optimize_se3(se3, iterations=cfg.opt_iterations,
+                       lm_lambda=cfg.lm_lambda)
+
+    yaw = jnp.arctan2(se3.node_R[:, 1, 0], se3.node_R[:, 0, 0])
+    new_pose = jnp.stack([se3.node_t[:, 0], se3.node_t[:, 1], yaw,
+                          se3.node_t[:, 2]], axis=-1)
+    new_pose = jnp.where(graph.node_valid[:, None], new_pose,
+                         graph.node_pose)
+    delta = new_pose[last] - pre_last
+    delta = delta.at[2].set(angle_wrap(delta[2]))
+    return graph.replace(node_pose=new_pose), delta
+
+
 def total_chi2(graph: Se3Graph) -> jnp.ndarray:
     """Sum of e^T Omega e over valid edges (g2o activeChi2)."""
     e = _edge_residuals_se3(graph.node_t, graph.node_R, graph)

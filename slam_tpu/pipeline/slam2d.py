@@ -557,7 +557,14 @@ def graph_update_delta(state: SlamState,
         min_points=cfg.graph.min_keyframe_points)
 
     def do_opt(g):
-        g, delta = pg.optimize(g, cfg.graph)
+        if cfg.graph.engine == "se3":
+            # the reference's literal g2o typing (VertexSE3/EdgeSE3,
+            # graph_slam.cpp:43-49): solve on the SE(3) manifold with the
+            # 6x6 LUM information embedding
+            from slam_tpu.graph.pose_graph3d import optimize_planar
+            g, delta = optimize_planar(g, cfg.graph)
+        else:
+            g, delta = pg.optimize(g, cfg.graph)
         return g, delta
 
     graph, delta = jax.lax.cond(

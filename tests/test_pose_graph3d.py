@@ -321,3 +321,45 @@ def test_g2o_se3_full_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(g2.edge_info)[:5],
                                np.asarray(g.edge_info)[:5], rtol=1e-5,
                                atol=1e-4)
+
+
+def test_se3_engine_in_pipeline_matches_se2z():
+    """`GraphConfig.engine = "se3"` routes the production graph tick through
+    the full 6-DoF optimizer (the reference's literal g2o VertexSE3 typing,
+    graph_slam.cpp:43-49). On the 2D pipeline's planar edges the two engines
+    must produce the same trajectory and graph geometry."""
+    import dataclasses as dc
+
+    from slam_tpu.config import sim2d_config
+    from slam_tpu.pipeline import slam2d
+    from slam_tpu.sim import world2d
+
+    base = sim2d_config()
+    base = dc.replace(
+        base,
+        graph=dc.replace(base.graph, max_nodes=16, max_edges=64,
+                         keyframe_points=256, knn_dist_thresh=3.0))
+    world = world2d.make_world(jax.random.PRNGKey(42), base.sim)
+
+    results = {}
+    for engine in ("se2z", "se3"):
+        cfg = dc.replace(base, graph=dc.replace(base.graph, engine=engine))
+        state = slam2d.init_state(jax.random.PRNGKey(0), cfg,
+                                  with_graph=True)
+        final, (est, true) = slam2d.rollout_with_graph(
+            state, world, cfg, num_macro=10, graph_every=4)
+        results[engine] = (final, np.asarray(est), np.asarray(true))
+
+    f2, est2, true2 = results["se2z"]
+    f3, est3, _ = results["se3"]
+    assert int(f3.graph.num_nodes) == int(f2.graph.num_nodes) >= 2
+    assert int(f3.graph.num_edges) == int(f2.graph.num_edges) >= 1
+    # both engines track the world...
+    assert float(slam2d.ate(est3[8:], true2[8:])) < 0.5
+    # ...and agree with each other (identical planar measurements; the SE(3)
+    # solve differs only by manifold bookkeeping and the pinned roll/pitch
+    # rows, so any gap is solver slack, not model difference)
+    assert float(np.abs(est3 - est2).max()) < 0.05
+    n = int(f2.graph.num_nodes)
+    np.testing.assert_allclose(np.asarray(f3.graph.node_pose[:n]),
+                               np.asarray(f2.graph.node_pose[:n]), atol=0.05)
