@@ -237,6 +237,10 @@ class PfConfig:
     yaw_sigma: float = 0.05              # [rad]
     temperature: float = 0.1             # softmax temp on hit fractions
     min_score: float = 0.2               # acceptance gate (hit fraction)
+    # beam-skip decimation for scoring (ops/particle.py PFConfig docs):
+    # the hit fraction is an unbiased estimate at any stride; the scoring
+    # gather is the whole PF cost on TPU
+    score_stride: int = 4
 
 
 @dataclasses.dataclass(frozen=True)
