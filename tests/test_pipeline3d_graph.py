@@ -123,3 +123,54 @@ def test_offsetmap_z_correction_reaches_height_interpolation():
     assert np.allclose(np.asarray(gm2.cloud.xyz[:, 2]),
                        np.asarray(gm.cloud.xyz[:, 2])
                        + dz * np.asarray(gm.cloud.valid))
+
+
+def test_se3_engine_z_delta_matches_se2z():
+    """cfg.graph.engine="se3" must deliver the same newest-node z delta to
+    the offsetMap chain as the production SE(2) x z optimizer: the 3D graph
+    rollout applies delta[3] to the ground store regardless of engine, so
+    the 6-DoF solve (pose_graph3d.optimize_planar) has to reproduce the
+    loop-closure z lift on the same two-node fixture."""
+    from slam_tpu.graph import pose_graph as pg
+    from slam_tpu.graph.pose_graph3d import optimize_planar
+
+    cfg = sim3d_config()
+    g = pg.init_graph(cfg.graph)
+    node_pose = g.node_pose.at[0].set(jnp.array([0.0, 0.0, 0.0, 0.0]))
+    node_pose = node_pose.at[1].set(jnp.array([6.0, 0.0, 0.0, 0.0]))
+    g = g.replace(
+        node_pose=node_pose,
+        node_valid=g.node_valid.at[:2].set(True),
+        node_stamp=g.node_stamp.at[0].set(0).at[1].set(1),
+        num_nodes=jnp.int32(2),
+        edge_ij=g.edge_ij.at[0].set(jnp.array([0, 1])),
+        edge_rel=g.edge_rel.at[0].set(jnp.array([6.0, 0.0, 0.0, 0.5])),
+        edge_info=g.edge_info.at[0].set(jnp.eye(4)),
+        edge_valid=g.edge_valid.at[0].set(True),
+        num_edges=jnp.int32(1))
+    g2, d2 = pg.optimize(g, cfg.graph)
+    g3, d3 = optimize_planar(g, cfg.graph)
+    assert abs(float(d3[3]) - 0.5) < 0.02, f"se3 z delta {float(d3[3])}"
+    np.testing.assert_allclose(np.asarray(d3), np.asarray(d2), atol=0.02)
+    np.testing.assert_allclose(np.asarray(g3.node_pose[:2]),
+                               np.asarray(g2.node_pose[:2]), atol=0.02)
+
+
+def test_rollout3d_graph_se3_engine():
+    """The full 3D stack with the SE(3) graph engine in the loop tracks like
+    the default engine (the edges are planar-ICP derived either way)."""
+    c = sim3d_config()
+    cfg = dataclasses.replace(
+        c, graph=dataclasses.replace(c.graph, max_nodes=16, max_edges=64,
+                                     keyframe_points=256,
+                                     knn_dist_thresh=2.5, engine="se3"))
+    world = world3d.make_world(jax.random.PRNGKey(42), cfg.sim)
+    st = slam3d.init_state_3d(jax.random.PRNGKey(0), cfg, world,
+                              with_graph=True)
+    gmap = make_cloud(cfg.cloud.map_capacity)
+    final, gmap, (est, true) = slam3d.rollout_3d_with_graph(
+        st, world, gmap, cfg, num_macro=8, graph_every=4)
+    est, true = np.asarray(est), np.asarray(true)
+    assert int(final.graph.num_nodes) >= 2
+    err = float(slam2d.ate(jnp.array(est[8:, :3]), jnp.array(true[8:, :3])))
+    assert err < 0.6, f"3D graph-mode (se3 engine) ATE {err}"
