@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from slam_tpu.config import GraphConfig, IcpConfig
 from slam_tpu.geometry import angle_wrap, se2_apply, se2_relative
+from slam_tpu.ops import linalg
 from slam_tpu.ops.icp import edge_information_2d, icp_fit
 from slam_tpu.ops.nn import nearest_neighbor
 from slam_tpu.types import PoseGraph, PointCloud
@@ -344,32 +345,46 @@ def optimize(graph: PoseGraph, cfg: GraphConfig) -> tuple[PoseGraph, jnp.ndarray
     last, _ = newest_node(graph)
     pre_last = graph.node_pose[last]
 
+    # incidence selectors: H/b assembly as (N,E)@(E,N) contractions on the
+    # MXU instead of 4 indexed scatter-adds per iteration (TPU scatters were
+    # the bulk of a 274 ms/256-robot optimize; the one-hot form is pure
+    # matmul and fuses into the iteration)
+    Si = jax.nn.one_hot(i_idx, N, dtype=graph.node_pose.dtype)   # (E, N)
+    Sj = jax.nn.one_hot(j_idx, N, dtype=graph.node_pose.dtype)
+
+    # gauge fix: strong prior on node 0; identity regularizer on
+    # invalid/disconnected nodes + LM damping
+    diag = jnp.ones(3 * N, graph.node_pose.dtype) * cfg.lm_lambda
+    diag = diag.at[:3].set(1e8)
+    diag = diag + jnp.repeat(~graph.node_valid, 3) * 1.0
+
     def gn_iter(poses, _):
         e, A, B = _se2_edge_residuals(poses, graph)
         Om = info3 * w_edge[:, None, None]
 
-        H = jnp.zeros((N, N, 3, 3), poses.dtype)
         AtO = jnp.einsum("eba,ebc->eac", A, Om)
         BtO = jnp.einsum("eba,ebc->eac", B, Om)
-        H = H.at[i_idx, i_idx].add(jnp.einsum("eab,ebc->eac", AtO, A))
-        H = H.at[i_idx, j_idx].add(jnp.einsum("eab,ebc->eac", AtO, B))
-        H = H.at[j_idx, i_idx].add(jnp.einsum("eab,ebc->eac", BtO, A))
-        H = H.at[j_idx, j_idx].add(jnp.einsum("eab,ebc->eac", BtO, B))
-        b = jnp.zeros((N, 3), poses.dtype)
-        b = b.at[i_idx].add(jnp.einsum("eab,eb->ea", AtO, e))
-        b = b.at[j_idx].add(jnp.einsum("eab,eb->ea", BtO, e))
+        # J^T Om J with J = Si (x) A + Sj (x) B, assembled blockwise:
+        # H[m, a, n, b] = sum_e Sx[e,m] P[e,a,b] Sy[e,n]
+        def blk(Sx, P, Sy):
+            return jnp.einsum("em,eab,en->manb", Sx, P, Sy)
+        H = (blk(Si, jnp.einsum("eab,ebc->eac", AtO, A), Si)
+             + blk(Si, jnp.einsum("eab,ebc->eac", AtO, B), Sj)
+             + blk(Sj, jnp.einsum("eab,ebc->eac", BtO, A), Si)
+             + blk(Sj, jnp.einsum("eab,ebc->eac", BtO, B), Sj))
+        b = (jnp.einsum("em,ea->ma", Si, jnp.einsum("eab,eb->ea", AtO, e))
+             + jnp.einsum("em,ea->ma", Sj, jnp.einsum("eab,eb->ea", BtO, e)))
 
-        Hd = H.transpose(0, 2, 1, 3).reshape(3 * N, 3 * N)
+        Hd = H.reshape(3 * N, 3 * N) + jnp.diag(diag)
         bd = b.reshape(3 * N)
-        # gauge fix: strong prior on node 0; identity regularizer on
-        # invalid/disconnected nodes + LM damping
-        diag = jnp.ones(3 * N, poses.dtype) * cfg.lm_lambda
-        diag = diag.at[:3].set(1e8)
-        inactive = ~graph.node_valid
-        diag = diag + jnp.repeat(inactive, 3) * 1.0
-        Hd = Hd + jnp.diag(diag)
-        dx = jnp.linalg.solve(Hd, -bd).reshape(N, 3)
-        poses = poses + dx
+        # Hd is SPD (GN normal equations + positive damping): blocked
+        # Cholesky + substitutions instead of jnp.linalg.solve — XLA's TPU
+        # LU expander emits a serialized pivoting While loop that dominated
+        # the whole graph tick (docs/PERF.md config-4 breakdown)
+        L = linalg.cholesky_blocked(Hd)
+        dx = linalg.back_substitute_blocked(
+            L, linalg.forward_substitute_blocked(L, -bd[:, None]))[:, 0]
+        poses = poses + dx.reshape(N, 3)
         poses = poses.at[:, 2].set(angle_wrap(poses[:, 2]))
         return poses, None
 
@@ -378,23 +393,22 @@ def optimize(graph: PoseGraph, cfg: GraphConfig) -> tuple[PoseGraph, jnp.ndarray
 
     # z: linear chain/graph least squares with unit info (1 GN step, exact)
     def z_solve(zs):
-        Hz = jnp.zeros((N, N), zs.dtype)
-        bz = jnp.zeros((N,), zs.dtype)
         ez = zs[j_idx] - zs[i_idx] - graph.edge_rel[:, 3]
         wz = w_edge * graph.edge_info[:, 3, 3]
-        Hz = Hz.at[i_idx, i_idx].add(wz)
-        Hz = Hz.at[j_idx, j_idx].add(wz)
-        Hz = Hz.at[i_idx, j_idx].add(-wz)
-        Hz = Hz.at[j_idx, i_idx].add(-wz)
-        # b = J^T W e with de/dz_i = -1, de/dz_j = +1 (the signs were
-        # flipped here once, which drove z AWAY from the measurements:
-        # a +1 m edge moved the target node to -1 m)
-        bz = bz.at[i_idx].add(-wz * ez)
-        bz = bz.at[j_idx].add(wz * ez)
-        diag = jnp.full((N,), cfg.lm_lambda, zs.dtype).at[0].set(1e8)
-        diag = diag + (~graph.node_valid) * 1.0
-        Hz = Hz + jnp.diag(diag)
-        return zs + jnp.linalg.solve(Hz, -bz)
+        # J = Sj - Si (de/dz_i = -1, de/dz_j = +1; the signs were flipped
+        # here once, which drove z AWAY from the measurements: a +1 m edge
+        # moved the target node to -1 m). Hz = J^T W J, bz = J^T W e —
+        # one-hot contraction form, same rationale as gn_iter above.
+        D = Sj - Si                                      # (E, N)
+        Hz = jnp.einsum("em,e,en->mn", D, wz, D)
+        bz = jnp.einsum("em,e->m", D, wz * ez)
+        diagz = jnp.full((N,), cfg.lm_lambda, zs.dtype).at[0].set(1e8)
+        diagz = diagz + (~graph.node_valid) * 1.0
+        Hz = Hz + jnp.diag(diagz)
+        Lz = linalg.cholesky_blocked(Hz)
+        dz = linalg.back_substitute_blocked(
+            Lz, linalg.forward_substitute_blocked(Lz, -bz[:, None]))[:, 0]
+        return zs + dz
 
     zs = z_solve(graph.node_pose[:, 3])
 

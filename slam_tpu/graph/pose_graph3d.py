@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+from slam_tpu.ops import linalg
 from slam_tpu.types import PoseGraph
 
 # ---------------------------------------------------------------------------
@@ -296,7 +297,8 @@ def edge_information_lum6(source_trans: jnp.ndarray, target: jnp.ndarray,
     # solve MM D = MZ with a tiny regularizer so the solve itself never
     # NaNs; degenerate cases are routed to identity below like the
     # reference's singular fallback
-    D = jnp.linalg.solve(MM + jnp.eye(6, dtype=dtype) * 1e-9, MZ)
+    D = linalg.spd_solve(MM + jnp.eye(6, dtype=dtype) * 1e-9,
+                         MZ[:, None])[:, 0]
     r = diff - jnp.einsum("pab,b->pa", J, D)
     ss = jnp.sum(w[..., None] * r * r)
     bad = (ss < 1e-13) | ~jnp.isfinite(ss) | (n < 7)
@@ -366,7 +368,14 @@ def optimize_se3(graph: Se3Graph, iterations: int = 10,
         diag = jnp.full((N * 6,), lm_lambda, t0.dtype)
         diag = diag.at[:6].set(gauge_weight)
         diag = diag + jnp.repeat(~graph.node_valid, 6) * 1.0
-        dx = jnp.linalg.solve(H + jnp.diag(diag), -b).reshape(N, 6)
+        # SPD system (GN normal equations + positive priors): blocked
+        # Cholesky instead of jnp.linalg.solve — the TPU LU expander's
+        # pivoting While loop dominated the graph tick (docs/PERF.md)
+        Hd = H + jnp.diag(diag)
+        L = linalg.cholesky_blocked(Hd)
+        dx = linalg.back_substitute_blocked(
+            L, linalg.forward_substitute_blocked(L, -b[:, None]))[:, 0]
+        dx = dx.reshape(N, 6)
         t1 = t0 + jnp.einsum("nab,nb->na", R0, dx[:, :3])
         R1 = R0 @ so3_exp(dx[:, 3:])
         return (t1, R1), None

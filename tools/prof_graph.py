@@ -26,14 +26,26 @@ def full(s):
     return out
 timed(full, states, 16, "full (ticks+graph)")
 
-# ticks only (no graph update), same total ticks via plain rollout
+# ticks only: the SAME macro structure as rollout_with_graph minus the
+# graph_update call (plain rollout maintains a point map graph mode lacks)
 def ticks_only(s):
-    out, _ = jax.vmap(lambda x: slam2d.rollout(x, world, cfg, 16))(s)
-    return out
+    def one(x):
+        def macro(ss, _):
+            ss = ss.replace(local_map=slam2d.shift_origin(
+                ss.local_map, ss.pose[:2], cfg.mls))
+            def tick(st, _):
+                st = slam2d.slam_step(st, world, cfg, incremental_map=False,
+                                      shift_maps=False)
+                return st, None
+            ss, _ = jax.lax.scan(tick, ss, None, length=8)
+            return ss, None
+        out, _ = jax.lax.scan(macro, x, None, length=2)
+        return out
+    return jax.vmap(one)(s)
 st2 = jax.vmap(lambda k: slam2d.init_state(k, cfg, with_graph=True))(keys)
 timed(ticks_only, st2, 16, "ticks only        ")
 
-# graph update only x2
+# graph update only x2 (state warmed by a few ticks so prev_scene/map exist)
 def graph_only(s):
     def m(ss, _):
         ss = jax.vmap(lambda x: slam2d.graph_update(x, cfg))(ss)
@@ -41,4 +53,7 @@ def graph_only(s):
     out, _ = jax.lax.scan(m, s, None, length=2)
     return out
 st3 = jax.vmap(lambda k: slam2d.init_state(k, cfg, with_graph=True))(keys)
+st3, _ = jax.jit(lambda s: jax.vmap(
+    lambda x: slam2d.rollout_with_graph(x, world, cfg, 1, 4))(s))(st3)
+jax.block_until_ready(st3.pose)
 timed(graph_only, st3, 16, "graph update x2   ")
