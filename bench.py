@@ -50,7 +50,12 @@ def _round_steps(steps, field_every=4):
 
 
 def _timed_rate(run_block, states, batch, steps, repeats,
-                with_carry: bool = False):
+                with_carry: bool = False, cost: dict | None = None):
+    if cost is not None:
+        c = _cost_analysis(run_block, states)
+        if c:
+            cost["flops_per_robot_step"] = c["flops"] / (batch * steps)
+            cost["bytes_per_robot_step"] = c["bytes"] / (batch * steps)
     states = run_block(states)
     jax.block_until_ready(jax.tree.leaves(states)[0])
     best = 0.0
@@ -61,6 +66,67 @@ def _timed_rate(run_block, states, batch, steps, repeats,
         dt = time.perf_counter() - t0
         best = max(best, batch * steps / dt)
     return (best, states) if with_carry else best
+
+
+def _cost_analysis(jitted, args):
+    """Compiled-HLO FLOP/byte totals for one block call (XLA's own cost
+    model over the optimized module — the basis for the MFU/roofline
+    numbers, VERDICT r4 item 3). Returns {"flops", "bytes"} or None."""
+    try:
+        ca = jitted.lower(args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        bytes_accessed = float(ca.get("bytes accessed", 0.0))
+        if flops <= 0 and bytes_accessed <= 0:
+            return None
+        return {"flops": flops, "bytes": bytes_accessed}
+    except Exception:
+        traceback.print_exc(file=sys.stderr)
+        return None
+
+
+# (dense bf16 FLOP/s, HBM bytes/s) peaks per chip generation — the MFU
+# denominators. Sources: public TPU spec sheets. The axon tunnel exposes a
+# single chip; device_kind prefixes match e.g. "TPU v5 lite".
+_CHIP_PEAKS = {
+    "TPU v6": (918e12, 1.64e12),     # Trillium (v6e)
+    "TPU v5p": (459e12, 2.765e12),
+    "TPU v5": (197e12, 0.819e12),    # v5e ("TPU v5 lite")
+    "TPU v4": (275e12, 1.228e12),
+    "TPU v3": (123e12, 0.9e12),
+    "TPU v2": (46e12, 0.7e12),
+}
+
+
+def _chip_peaks():
+    kind = jax.devices()[0].device_kind
+    for prefix, peaks in _CHIP_PEAKS.items():
+        if kind.startswith(prefix):
+            return peaks
+    return None
+
+
+def _mfu_extras(extra: dict, name: str, cost: dict, rate_steps_per_sec):
+    """Fold roofline numbers for one config into the extras dict: MFU
+    (achieved FLOP/s vs dense-bf16 peak) and achieved-HBM-bandwidth
+    fraction. Also keeps the raw per-step FLOPs/bytes so the roofline can
+    be recomputed offline (docs/PERF.md roofline table)."""
+    if not cost or not rate_steps_per_sec:
+        return
+    peaks = _chip_peaks()
+    f = cost.get("flops_per_robot_step")
+    b = cost.get("bytes_per_robot_step")
+    if f:
+        extra[f"{name}_gflops_per_kstep"] = round(f * 1e3 / 1e9, 3)
+    if b:
+        extra[f"{name}_mbytes_per_kstep"] = round(b * 1e3 / 1e6, 3)
+    if peaks and f:
+        extra[f"{name}_mfu_pct"] = round(
+            100.0 * f * rate_steps_per_sec / peaks[0], 3)
+    if peaks and b:
+        extra[f"{name}_hbm_frac_pct"] = round(
+            100.0 * b * rate_steps_per_sec / peaks[1], 3)
 
 
 def kernel_guard():
@@ -110,7 +176,7 @@ def kernel_guard():
     return "ok"
 
 
-def bench_2d(batch, steps, repeats):
+def bench_2d(batch, steps, repeats, cost=None):
     from slam_tpu.config import sim2d_config
     from slam_tpu.pipeline import slam2d
     from slam_tpu.sim import world2d
@@ -127,7 +193,8 @@ def bench_2d(batch, steps, repeats):
             lambda x: slam2d.rollout(x, world, cfg, steps))(s)
         return out
 
-    return _timed_rate(run_block, states, batch, steps, repeats)
+    return _timed_rate(run_block, states, batch, steps, repeats,
+                       cost=cost)
 
 
 def bench_batch1_latency(steps, repeats):
@@ -151,7 +218,7 @@ def bench_batch1_latency(steps, repeats):
     return 1000.0 / rate  # ms per step
 
 
-def bench_3d(batch, steps, repeats):
+def bench_3d(batch, steps, repeats, cost=None):
     from slam_tpu.config import sim3d_config
     from slam_tpu.pipeline import slam3d
     from slam_tpu.sim import world3d
@@ -170,7 +237,8 @@ def bench_3d(batch, steps, repeats):
             return out, gm2
         return jax.vmap(one)(*sg)
 
-    return _timed_rate(run_block, (states, gms), batch, steps, repeats)
+    return _timed_rate(run_block, (states, gms), batch, steps, repeats,
+                       cost=cost)
 
 
 def bench_ref_scale(batch, steps, repeats):
@@ -239,7 +307,9 @@ def bench_parity_onchip():
     from slam_tpu.sim import world2d
     world = world2d.make_world(jax.random.PRNGKey(42), cfg.sim)
     frames = tp._render_frames(cfg, world, 40)
-    ref = tp.oracle_slam(cfg, frames)
+    from tests.golden_cache import cached_oracle
+    ref = cached_oracle("parity2d", tp.oracle_slam, (cfg,), frames,
+                        lambda: tp.oracle_slam(cfg, frames))
     got = tp.ours_slam(cfg, frames)
     err = np.linalg.norm(got[:, :2] - ref[:, :2], axis=1)
     return float(np.sqrt(np.mean(err[5:] ** 2))) * 100.0
@@ -311,7 +381,7 @@ def bench_mls_reloc(batch, steps, repeats):
                        repeats)
 
 
-def bench_graph(batch, steps, repeats):
+def bench_graph(batch, steps, repeats, cost=None):
     """Config 4: full graph-SLAM loop (rollout_with_graph)."""
     from slam_tpu.config import sim2d_config
     from slam_tpu.pipeline import slam2d
@@ -334,10 +404,10 @@ def bench_graph(batch, steps, repeats):
         return out
 
     return _timed_rate(run_block, states, batch, graph_every * n_macro,
-                       repeats)
+                       repeats, cost=cost)
 
 
-def bench_fleet_pf_shared(batch, steps, repeats):
+def bench_fleet_pf_shared(batch, steps, repeats, cost=None):
     """Config 5: particle-filter scan matching against ONE shared fleet map
     (parallel.shared_map.fleet_rollout_shared — the matcher reads a single
     replicated grid; per-robot copies are never materialized)."""
@@ -348,7 +418,10 @@ def bench_fleet_pf_shared(batch, steps, repeats):
     from slam_tpu.sim import world2d
 
     cfg = sim2d_config()
-    cfg = cfg.replace(icp=dataclasses.replace(cfg.icp, matcher="particle"))
+    cfg = cfg.replace(icp=dataclasses.replace(cfg.icp, matcher="particle"),
+                      # stride 4 is the config-5 throughput trade (see
+                      # PfConfig.score_stride; default moved to exact 1)
+                      pf=dataclasses.replace(cfg.pf, score_stride=4))
     world = world2d.make_world(jax.random.PRNGKey(42), cfg.sim)
     keys = jax.random.split(jax.random.PRNGKey(0), batch)
     states = jax.vmap(lambda k: slam2d.init_state(k, cfg))(keys)
@@ -373,7 +446,92 @@ def bench_fleet_pf_shared(batch, steps, repeats):
         return (s, sh)
 
     return _timed_rate(run_block, (states, shared), batch, 4 * n_macro,
-                       repeats)
+                       repeats, cost=cost)
+
+
+def bench_ref_scale_longrun(batch=16, total_steps=2048, graph_every=8):
+    """Long-mission artifact at the reference's working point (VERDICT r4
+    item 9): a 2k-step b16 ref-scale 3D rollout with the pose-graph engine
+    ticking at the reference's cadence (10 Hz graph loop under the scan
+    loop, graph_slam.cpp:479) and failure-gated relocalization in the loop
+    (global_match.cpp:199-221 recovery semantics), plus one mid-mission
+    kidnap of robot 0 so the recovery path is honestly exercised. Returns
+    (raw_ate_cm, aligned_ate_cm, quarter_curve_cm) over the whole mission.
+    """
+    import numpy as np
+
+    from slam_tpu.config import ref_scale_config
+    from slam_tpu.pipeline import slam2d, slam3d
+    from slam_tpu.pipeline.relocalize import fleet_relocalize_if_lost
+    from slam_tpu.sim import world3d
+    from slam_tpu.types import make_cloud
+
+    c = ref_scale_config()
+    cfg = c.replace(
+        # fused matcher (graph mode registers against the regenerated
+        # keyframe map; the C-tiled kernel streams the 20k-point problem),
+        # reference graph budgets (5 m keyframes, 20k-gate open since the
+        # keyframe gate counts voxelized points — config.py note)
+        graph=dataclasses.replace(c.graph, max_nodes=64, max_edges=320,
+                                  keyframe_points=2048),
+        global_match=dataclasses.replace(c.global_match, grid_size=192,
+                                         num_rotations=32),
+    )
+    world = world3d.make_world(jax.random.PRNGKey(42), cfg.sim)
+    keys = jax.random.split(jax.random.PRNGKey(0), batch)
+    states = jax.vmap(
+        lambda k: slam3d.init_state_3d(k, cfg, world, with_graph=True))(keys)
+    gms = jax.vmap(lambda _: slam3d.init_ground_map(cfg))(jnp.arange(batch))
+
+    n_macro = max(1, total_steps // graph_every)
+    kidnap_at = n_macro // 2
+    robot0 = (jnp.arange(batch) == 0).astype(jnp.float32)
+
+    @jax.jit
+    def run(carry):
+        def macro(cc, i):
+            s, gm = cc
+            kid = i == kidnap_at
+            kick = jnp.where(kid, 1.0, 0.0) * robot0
+            s = s.replace(
+                ekf=s.ekf.replace(
+                    mu=s.ekf.mu.at[:, 0].add(10.0 * kick)
+                    .at[:, 1].add(-6.0 * kick).at[:, 6].add(1.0 * kick)),
+                pose=s.pose.at[:, 0].add(10.0 * kick)
+                .at[:, 1].add(-6.0 * kick).at[:, 2].add(1.0 * kick))
+
+            def tick(c2, _):
+                ss, g = c2
+                ss, g = jax.vmap(lambda x, y: slam3d.slam_step_3d(
+                    x, world, y, cfg, refresh_map=False, shift_maps=False,
+                    incremental_map=False))(ss, g)
+                return (ss, g), (ss.pose, ss.true_pose)
+
+            (s, gm), traj = jax.lax.scan(tick, (s, gm), None,
+                                         length=graph_every)
+            s, delta = jax.vmap(
+                lambda x: slam2d.graph_update_delta(x, cfg))(s)
+            gm = jax.vmap(slam3d.apply_graph_offset)(gm, delta)
+            lost = ~s.scan_reg_ok | (kid & (robot0 > 0))
+            s = fleet_relocalize_if_lost(s, cfg, lost=lost)
+            return (s, gm), traj
+
+        return jax.lax.scan(macro, carry, jnp.arange(n_macro))
+
+    (_, _), (est, true) = run((states, gms))
+    est = np.asarray(est).reshape(-1, batch, 4).transpose(1, 0, 2)
+    true = np.asarray(true).reshape(-1, batch, 4).transpose(1, 0, 2)
+    err = np.linalg.norm(est[..., :2] - true[..., :2], axis=-1)
+    raw = float(np.sqrt((err ** 2).mean()) * 100.0)
+    from slam_tpu.pipeline.slam2d import ate_aligned
+    aligned = float(np.mean([
+        float(ate_aligned(jnp.asarray(est[i]), jnp.asarray(true[i])))
+        for i in range(batch)])) * 100.0
+    T = err.shape[1]
+    q = T // 4
+    curve = [round(float(np.sqrt((err[:, i * q:(i + 1) * q] ** 2).mean()))
+                   * 100.0, 2) for i in range(4)]
+    return raw, aligned, curve
 
 
 def _await_backend():
@@ -414,6 +572,9 @@ def main():
                         "single-chip operating point; see docs/PERF.md)")
     p.add_argument("--steps", type=int, default=20, help="steps per block")
     p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--longrun-steps", type=int, default=2048,
+                   help="ref-scale long-mission length (graph + reloc in "
+                        "the loop, VERDICT r4 item 9); 0 disables")
     args = p.parse_args()
 
     _await_backend()
@@ -427,10 +588,14 @@ def main():
             extra[name] = None
 
     rate2d = rate3d = None
+    cost2d, cost3d = {}, {}
     if args.pipeline in ("2d", "both", "all"):
-        rate2d = bench_2d(args.batch, args.steps, args.repeats)
+        rate2d = bench_2d(args.batch, args.steps, args.repeats, cost=cost2d)
+        _mfu_extras(extra, "config1", cost2d, rate2d)
     if args.pipeline in ("3d", "both", "all"):
-        rate3d = bench_3d(args.batch3d, args.steps, args.repeats)
+        rate3d = bench_3d(args.batch3d, args.steps, args.repeats,
+                          cost=cost3d)
+        _mfu_extras(extra, "config2", cost3d, rate3d)
 
     if args.pipeline == "all":
         # NOTE on ordering: a TPU device fault poisons every later execute
@@ -441,11 +606,16 @@ def main():
         # since the FFT search dominates — 85.0 @ b64, 87.7 @ b128).
         try_extra("batch1_ms_per_step", bench_batch1_latency, args.steps,
                   args.repeats)
+        cost4, cost5 = {}, {}
         try_extra("config4_graph_steps_per_sec_b256", bench_graph,
-                  256, 16, args.repeats)
+                  256, 16, args.repeats, cost4)
+        _mfu_extras(extra, "config4", cost4,
+                    extra.get("config4_graph_steps_per_sec_b256"))
         try_extra("config5_fleet_pf_shared_steps_per_sec_b%d" % args.batch,
                   bench_fleet_pf_shared, args.batch, args.steps,
-                  args.repeats)
+                  args.repeats, cost5)
+        _mfu_extras(extra, "config5", cost5, extra.get(
+            "config5_fleet_pf_shared_steps_per_sec_b%d" % args.batch))
         def ref_scale_rate():
             rate, ate_cm, aligned_cm = bench_ref_scale(
                 args.batch_scale, 8, args.repeats)
@@ -454,6 +624,14 @@ def main():
             return rate
         try_extra("ref_scale_20k_steps_per_sec_b%d" % args.batch_scale,
                   ref_scale_rate)
+        if args.longrun_steps > 0:
+            def longrun():
+                raw, aligned, curve = bench_ref_scale_longrun(
+                    batch=16, total_steps=args.longrun_steps)
+                extra["ref_scale_longrun_ate_cm_aligned"] = round(aligned, 2)
+                extra["ref_scale_longrun_ate_curve_cm"] = curve
+                return raw
+            try_extra("ref_scale_longrun_ate_cm", longrun)
         try_extra("config3_mls_reloc_steps_per_sec_b128", bench_mls_reloc,
                   128, args.steps, args.repeats)
         try_extra("parity_ate_cm_onchip", bench_parity_onchip)

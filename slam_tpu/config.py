@@ -169,6 +169,11 @@ class GraphConfig:
     rot_move_thresh: float = 0.2         # graphSlamTools.h:36 edge rejection [rad]
     lm_lambda: float = 1e-4              # LM damping for our batched GN solver
     loop_rate_hz: float = 10.0           # graph_slam.cpp:418
+    # anchor-aware eviction (pose_graph._eviction_slot): evictability =
+    # dmin + evict_degree_weight * edge_degree [m/edge]. 0 recovers the
+    # pure-redundancy policy that cost 7x ATE at 4x capacity overrun
+    # (docs/PERF.md eviction study)
+    evict_degree_weight: float = 0.5
     # graph optimizer engine:
     #   "se2z" — SE(2) x z dense GN (pose_graph.optimize; the production
     #            default — the reference's edges are planar-ICP derived, so
@@ -180,6 +185,19 @@ class GraphConfig:
     #            both engines land on the same optimum
     #            (tests/test_pose_graph3d.py::test_se3_matches_se2z_on_gs_fixture).
     engine: str = "se2z"
+    # keyframe edge refinement (calcEdgeIcp, graphSlamTools.cpp:218-364):
+    #   "2d" — class-constrained planar ICP between keyframe clouds + z from
+    #          the pose difference (matches the planar scan matcher; the
+    #          production default)
+    #   "3d" — the reference's literal chain: full 3D point-to-point ICP
+    #          between the (body-frame) keyframe clouds with SE(3) odometry
+    #          init (graphSlamTools.cpp:241-298), 6x6 LUM information over
+    #          the final 3D correspondences (graphSlamTools.cpp:108-214),
+    #          consumed natively by the SE(3) optimizer — edges then carry
+    #          MEASURED z/attitude. Requires engine="se3"; keyframe clouds
+    #          are stored tilted (capture body frame) like the reference's
+    #          velodyne-frame keyframes (graph_slam.cpp:503)
+    edge_registration: str = "2d"
     # scan-to-map target regeneration after each optimization:
     #   "voxel" — keyframe clouds voxel-merged (regenerate_map; centroid
     #             semantics match the MLS means at one cluster/cell, ~6x
@@ -238,9 +256,19 @@ class PfConfig:
     temperature: float = 0.1             # softmax temp on hit fractions
     min_score: float = 0.2               # acceptance gate (hit fraction)
     # beam-skip decimation for scoring (ops/particle.py PFConfig docs):
-    # the hit fraction is an unbiased estimate at any stride; the scoring
-    # gather is the whole PF cost on TPU
-    score_stride: int = 4
+    # the hit fraction is an unbiased estimate at any stride, but a stride
+    # adds sampling noise (std ~0.05 at stride 4 / 96 scored points) to the
+    # fraction the min_score gate and softmax read — poses near the 0.2
+    # acceptance threshold can flip ok/not-ok vs stride 1. Default is the
+    # exact estimator; the config-5 fleet bench opts into 4 explicitly
+    # (bench.py bench_fleet_pf_shared) where the throughput trade is wanted.
+    score_stride: int = 1
+    # scoring engine (ops/particle.py score_particles): "gather" | "dense" |
+    # "pallas" | "auto" (= pallas on TPU, gather elsewhere). All engines
+    # produce identical hit fractions; they differ only in how the
+    # P x N occupancy lookups map to hardware (the gather path serializes
+    # on TPU — it was 86% of the config-5 tick, docs/PERF.md).
+    scorer: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -293,6 +321,12 @@ class SimConfig:
     range_noise: float = 0.01            # [m] 1-sigma
     gyro_noise: float = 0.002            # [rad/s]
     gyro_bias: float = 0.01              # [rad/s] true bias, estimated at init
+    # constant IMU attitude miscalibration added to the measured roll/pitch
+    # (mounting error — a realistic failure the 6-DoF graph fixture uses:
+    # tilt compensation then leans every scan by the same bias, which skews
+    # the height-interpolated z odometry chain, while RELATIVE 3D edge
+    # registrations between equally-leaned keyframe clouds stay unbiased)
+    imu_pitch_bias: float = 0.0          # [rad]
     # 3D Velodyne HDL-32E-like model (drivers.launch:12-31)
     num_rings: int = 32
     ring_elevation_min: float = -0.535   # ~-30.67 deg

@@ -37,6 +37,11 @@ from slam_tpu.types import PoseGraph, PointCloud
 
 def init_graph(cfg: GraphConfig, dtype=jnp.float32) -> PoseGraph:
     N, E, P = cfg.max_nodes, cfg.max_edges, cfg.keyframe_points
+    full3d = cfg.edge_registration == "3d"
+    if full3d and cfg.engine != "se3":
+        raise ValueError(
+            'edge_registration="3d" produces SE(3) measurements only the '
+            '"se3" engine consumes; set GraphConfig.engine="se3"')
     return PoseGraph(
         node_pose=jnp.zeros((N, 4), dtype),
         node_valid=jnp.zeros((N,), bool),
@@ -51,6 +56,9 @@ def init_graph(cfg: GraphConfig, dtype=jnp.float32) -> PoseGraph:
         num_nodes=jnp.int32(0),
         num_edges=jnp.int32(0),
         edges_dropped=jnp.int32(0),
+        node_rp=jnp.zeros((N, 2), dtype) if full3d else None,
+        edge_rel6=jnp.zeros((E, 6), dtype) if full3d else None,
+        edge_info6=jnp.zeros((E, 6, 6), dtype) if full3d else None,
     )
 
 
@@ -142,6 +150,85 @@ def _edge_measurement(graph: PoseGraph, i: jnp.ndarray, j: jnp.ndarray,
     return rel, info4, ok
 
 
+def _edge_measurement_3d(graph: PoseGraph, i: jnp.ndarray, j: jnp.ndarray,
+                         icp_cfg: IcpConfig, gcfg: GraphConfig):
+    """Edge i->j via FULL 3D registration — the reference's literal chain
+    (calcEdgeIcp, graphSlamTools.cpp:241-298): both keyframe clouds are
+    already voxel-downsampled (stored that way, like the 0.5 m leaf of
+    graphSlamTools.cpp:279-286), the init is the SE(3) relative odometry
+    Mfrom^-1 * Mto (graphSlamTools.cpp:258), the refinement is 3D
+    point-to-point ICP (ops/icp3d.py, the gicp.align role), and the
+    information is the 6x6 LUM matrix over the FINAL 3D correspondences
+    (computeEdgeInformationLUM, graphSlamTools.cpp:108-214).
+
+    Returns (rel4, info4, rel6, info6, ok): rel6 = [t; rotvec] and info6
+    feed the SE(3) optimizer natively; rel4/info4 are the planar projection
+    kept alongside for the 4-DoF consumers (map regeneration plumbing).
+    """
+    import dataclasses as _dc
+
+    from slam_tpu.geometry import rot3_from_rpy
+    from slam_tpu.graph.pose_graph3d import edge_information_lum6, so3_log
+    from slam_tpu.ops.icp3d import icp3d_fit
+
+    pi = graph.node_pose[i]
+    pj = graph.node_pose[j]
+    rpi = graph.node_rp[i]
+    rpj = graph.node_rp[j]
+    Ri = rot3_from_rpy(rpi[0], rpi[1], pi[2])
+    Rj = rot3_from_rpy(rpj[0], rpj[1], pj[2])
+    ti = jnp.stack([pi[0], pi[1], pi[3]])
+    tj = jnp.stack([pj[0], pj[1], pj[3]])
+    init_R = Ri.T @ Rj
+    init_t = Ri.T @ (tj - ti)
+
+    def point_class(flags):
+        # 0 = non-GA obstacle, 1 = GA obstacle, 2 = ground — ground points
+        # ride in the 6-DoF keyframes (like the reference's raw voxelized
+        # keyframe clouds) and are what constrain z in the registration
+        ga = (flags & PointCloud.FLAG_GA) != 0
+        gnd = (flags & PointCloud.FLAG_GROUND) != 0
+        return jnp.where(gnd, 2, jnp.where(ga, 1, 0)).astype(jnp.int32)
+
+    scene_xyz = graph.kf_xyz[j]
+    scene_valid = graph.kf_valid[j]
+    scene_class = point_class(graph.kf_flags[j])
+    model_xyz = graph.kf_xyz[i]
+    model_valid = graph.kf_valid[i]
+    model_class = point_class(graph.kf_flags[i])
+
+    icp_cfg = _dc.replace(icp_cfg, max_iterations=gcfg.edge_icp_max_iter)
+    res = icp3d_fit(scene_xyz, scene_valid, scene_class,
+                    model_xyz, model_valid, model_class, init_t, init_R,
+                    icp_cfg)
+
+    # 6x6 LUM information over the final correspondences with the
+    # reference's max-correspondence gate (graphSlamTools.cpp:302 0.75 m)
+    from slam_tpu.ops.nn import nearest_neighbor
+    q = scene_xyz @ res.R.T + res.t
+    idx, d2 = nearest_neighbor(q, model_xyz, model_valid)
+    w = (scene_valid & (d2 < gcfg.edge_max_corr ** 2)).astype(q.dtype)
+    info6 = edge_information_lum6(q, model_xyz[idx], w)
+
+    # rejection gates (graphSlamTools.cpp:333-358): per-axis translation
+    # move vs the odometry prior + total rotation-angle move, plus the
+    # minimum-overlap gate shared with the 2D path
+    t_move = jnp.abs(res.t - init_t)
+    w_move = so3_log(jnp.einsum("ba,bc->ac", init_R, res.R))
+    ok = res.ok & jnp.all(t_move <= gcfg.dist_move_thresh) & \
+        (jnp.linalg.norm(w_move) <= gcfg.rot_move_thresh) & \
+        (jnp.sum(w) >= gcfg.edge_min_corr)
+
+    rel6 = jnp.concatenate([res.t, so3_log(res.R)])
+    # planar projection for the 4-DoF plumbing (regenerate_map reads
+    # node_pose only, but edge_rel stays coherent for diagnostics/interop)
+    yaw = jnp.arctan2(res.R[1, 0], res.R[0, 0])
+    rel4 = jnp.stack([res.t[0], res.t[1], yaw, res.t[2]])
+    emb = jnp.array([0, 1, 5, 2])        # x y yaw z -> tangent indices
+    info4 = info6[emb[:, None], emb[None, :]]
+    return rel4, info4, rel6, info6, ok
+
+
 def newest_node(graph: PoseGraph) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(index, exists) of the most recently inserted valid node. Slots are
     reused by eviction, so this is a stamp lookup, not num_nodes - 1."""
@@ -149,32 +236,57 @@ def newest_node(graph: PoseGraph) -> tuple[jnp.ndarray, jnp.ndarray]:
     return jnp.argmax(stamp), jnp.max(stamp) >= 0
 
 
-def _eviction_slot(graph: PoseGraph):
-    """Most redundant keyframe: the valid node with the smallest distance to
-    another valid node, excluding node 0 (the gauge/home anchor,
-    graph_slam.cpp:102-146 HOME rebuilds from keyframe 0) and the newest
-    node (trajectory continuity). Returns (slot, evictable?)."""
+def _eviction_slot(graph: PoseGraph, degree_weight: float = 0.5):
+    """Cheapest keyframe to evict: spatial redundancy (small distance to
+    another keyframe) DISCOUNTED by graph connectivity, excluding node 0
+    (the gauge/home anchor, graph_slam.cpp:102-146 HOME rebuilds from
+    keyframe 0) and the newest node (trajectory continuity).
+
+    Redundancy alone (round-1 policy) measured 7x the no-eviction ATE at 4x
+    capacity overrun (docs/PERF.md eviction study): revisited areas are
+    exactly where old keyframes accumulate loop-closure edges, and
+    "closest to another node" preferentially deletes those anchors —
+    removing the edges that pin the whole graph. Evictability here is
+
+        dmin + degree_weight * edge_degree     (argmin = evict)
+
+    so a spatially-redundant node is only evicted once enough equally-
+    redundant LOW-degree nodes are gone; high-degree loop anchors survive.
+    degree_weight is meters-per-edge (GraphConfig.evict_degree_weight).
+    Returns (slot, evictable?)."""
     xy = graph.node_pose[:, :2]
     N = xy.shape[0]
     d = jnp.linalg.norm(xy[:, None, :] - xy[None, :, :], axis=-1)
     pair_ok = graph.node_valid[:, None] & graph.node_valid[None, :] & \
         ~jnp.eye(N, dtype=bool)
     dmin = jnp.min(jnp.where(pair_ok, d, jnp.inf), axis=1)
+    ev = graph.edge_valid
+    degree = (jnp.sum(jax.nn.one_hot(graph.edge_ij[:, 0], N) * ev[:, None], 0)
+              + jnp.sum(jax.nn.one_hot(graph.edge_ij[:, 1], N)
+                        * ev[:, None], 0))
     newest, _ = newest_node(graph)
     score = jnp.where(
         graph.node_valid & (jnp.arange(N) != 0) & (jnp.arange(N) != newest),
-        dmin, jnp.inf)
+        dmin + degree_weight * degree, jnp.inf)
     return jnp.argmin(score), jnp.isfinite(jnp.min(score))
 
 
 def add_keyframe(graph: PoseGraph, pose: jnp.ndarray, cloud: PointCloud,
                  icp_cfg: IcpConfig, cfg: GraphConfig,
-                 min_points: int | None = None) -> tuple[PoseGraph, jnp.ndarray]:
+                 min_points: int | None = None,
+                 attitude: jnp.ndarray | None = None
+                 ) -> tuple[PoseGraph, jnp.ndarray]:
     """Gate + insert a keyframe and its edges (graph_slam.cpp:479-519).
 
     pose: (4,) x, y, yaw, z. cloud: segmented scene in the robot frame (the
     reference stores velodyne-frame keyframes, graph_slam.cpp:503). Returns
     (graph, added?).
+
+    attitude: (2,) measured IMU roll/pitch at capture — used only in 6-DoF
+    mode (edge_registration="3d"), where the keyframe cloud is stored
+    TILTED (rotated back into the capture body frame, matching the
+    reference's velodyne-frame keyframes) so 3D edge registration observes
+    relative attitude from the data, and node_rp is initialized from it.
 
     Capacity policy: when the fixed-capacity graph is full, the most
     redundant keyframe (smallest distance to another keyframe, never node 0
@@ -192,7 +304,8 @@ def add_keyframe(graph: PoseGraph, pose: jnp.ndarray, cloud: PointCloud,
     enough_pts = cloud.count() >= min_points
     want = (far_enough | first) & enough_pts
 
-    evict_slot, evictable = _eviction_slot(graph)
+    evict_slot, evictable = _eviction_slot(
+        graph, degree_weight=cfg.evict_degree_weight)
     add = want & (has_room | evictable)
     evicting = add & ~has_room
 
@@ -211,6 +324,19 @@ def add_keyframe(graph: PoseGraph, pose: jnp.ndarray, cloud: PointCloud,
     kf_flags = packed.flags
     stamp = jnp.max(graph.node_stamp) + 1
 
+    full3d = graph.node_rp is not None
+    if attitude is None:
+        attitude = jnp.zeros(2, pose.dtype)
+    if full3d:
+        # store the cloud in the capture BODY frame: p_body = R_rp^T p_up
+        # (inverse of the pipeline's rp_compensate) — the tilt stays in the
+        # data like the reference's velodyne-frame keyframes, so 3D edge
+        # ICP can measure relative attitude between capture poses
+        from slam_tpu.geometry import rot3_from_rpy
+        R_rp = rot3_from_rpy(attitude[0], attitude[1],
+                             jnp.zeros((), pose.dtype))
+        kf_xyz = kf_xyz @ R_rp          # == (R_rp^T kf^T)^T
+
     new_graph = graph.replace(
         node_pose=graph.node_pose.at[slot].set(jnp.where(add, pose,
                                                          graph.node_pose[slot])),
@@ -228,6 +354,10 @@ def add_keyframe(graph: PoseGraph, pose: jnp.ndarray, cloud: PointCloud,
         num_edges=jnp.sum(edge_valid).astype(graph.num_edges.dtype),
         num_nodes=jnp.where(add & has_room, n + 1, n),
     )
+    if full3d:
+        new_graph = new_graph.replace(
+            node_rp=graph.node_rp.at[slot].set(
+                jnp.where(add, attitude, graph.node_rp[slot])))
 
     # edges: previous (most recent other) node + KNN (graph_slam.cpp:508-519)
     def make_edges(g: PoseGraph) -> PoseGraph:
@@ -244,11 +374,19 @@ def add_keyframe(graph: PoseGraph, pose: jnp.ndarray, cloud: PointCloud,
         # all candidate edge ICPs in ONE batched call (the reference runs
         # them serially, graph_slam.cpp:508-519; vmap keeps the fused kernel
         # busy with 4 problems instead of dispatching it 4 times)
-        rels, infos, icp_oks = jax.vmap(
-            lambda src: _edge_measurement(g, src, slot, icp_cfg, cfg))(cand)
+        if full3d:
+            rels, infos, rel6s, info6s, icp_oks = jax.vmap(
+                lambda src: _edge_measurement_3d(g, src, slot, icp_cfg,
+                                                 cfg))(cand)
+        else:
+            rels, infos, icp_oks = jax.vmap(
+                lambda src: _edge_measurement(g, src, slot, icp_cfg,
+                                              cfg))(cand)
+            rel6s = jnp.zeros((cand.shape[0], 6), rels.dtype)
+            info6s = jnp.zeros((cand.shape[0], 6, 6), rels.dtype)
 
         def add_one(g: PoseGraph, args):
-            src, ok_c, rel, info, icp_ok = args
+            src, ok_c, rel, info, rel6, info6, icp_ok = args
             # first free edge slot (eviction reclaims slots, so scan for one
             # rather than using a cursor)
             e = jnp.argmin(g.edge_valid).astype(jnp.int32)
@@ -270,9 +408,17 @@ def add_keyframe(graph: PoseGraph, pose: jnp.ndarray, cloud: PointCloud,
                 num_edges=jnp.sum(new_valid).astype(g.num_edges.dtype),
                 edges_dropped=g.edges_dropped + dropped.astype(jnp.int32),
             )
+            if full3d:
+                g = g.replace(
+                    edge_rel6=g.edge_rel6.at[e].set(
+                        jnp.where(do, rel6, g.edge_rel6[e])),
+                    edge_info6=g.edge_info6.at[e].set(
+                        jnp.where(do, info6, g.edge_info6[e])))
             return g, None
 
-        g, _ = jax.lax.scan(add_one, g, (cand, cand_ok, rels, infos, icp_oks))
+        g, _ = jax.lax.scan(add_one, g,
+                            (cand, cand_ok, rels, infos, rel6s, info6s,
+                             icp_oks))
         return g
 
     with_edges = jax.lax.cond(add & ~first, make_edges,
@@ -348,14 +494,23 @@ def optimize(graph: PoseGraph, cfg: GraphConfig) -> tuple[PoseGraph, jnp.ndarray
     # incidence selectors: H/b assembly as (N,E)@(E,N) contractions on the
     # MXU instead of 4 indexed scatter-adds per iteration (TPU scatters were
     # the bulk of a 274 ms/256-robot optimize; the one-hot form is pure
-    # matmul and fuses into the iteration)
+    # matmul and fuses into the iteration). Scaling assumption: the blk()
+    # einsum is O(E*N^2) FLOPs/iteration — cheap at the mission capacities
+    # this graph is sized for (N<=64, E<=320: ~4 MFLOP), quadratic in N if
+    # capacity is raised far beyond that; at N >~ 512 revisit with a
+    # scatter-add fallback.
     Si = jax.nn.one_hot(i_idx, N, dtype=graph.node_pose.dtype)   # (E, N)
     Sj = jax.nn.one_hot(j_idx, N, dtype=graph.node_pose.dtype)
 
     # gauge fix: strong prior on node 0; identity regularizer on
-    # invalid/disconnected nodes + LM damping
+    # invalid/disconnected nodes + LM damping. 1e5 (not 1e8): it only has
+    # to dominate the largest edge information (relocalization edges inject
+    # 1000, reloc_info_xy) by enough to pin node 0 below solver tolerance
+    # (displacement <= E*info/gauge ~ 1e-2 m * 1e3/1e5 = 1e-4 m), while the
+    # unpivoted f32 Cholesky below sees a diagonal span of 1e5..1e-4 =
+    # 1e9 instead of 1e12 — comfortably inside f32 for a damped SPD system.
     diag = jnp.ones(3 * N, graph.node_pose.dtype) * cfg.lm_lambda
-    diag = diag.at[:3].set(1e8)
+    diag = diag.at[:3].set(1e5)
     diag = diag + jnp.repeat(~graph.node_valid, 3) * 1.0
 
     def gn_iter(poses, _):
@@ -402,7 +557,7 @@ def optimize(graph: PoseGraph, cfg: GraphConfig) -> tuple[PoseGraph, jnp.ndarray
         D = Sj - Si                                      # (E, N)
         Hz = jnp.einsum("em,e,en->mn", D, wz, D)
         bz = jnp.einsum("em,e->m", D, wz * ez)
-        diagz = jnp.full((N,), cfg.lm_lambda, zs.dtype).at[0].set(1e8)
+        diagz = jnp.full((N,), cfg.lm_lambda, zs.dtype).at[0].set(1e5)
         diagz = diagz + (~graph.node_valid) * 1.0
         Hz = Hz + jnp.diag(diagz)
         Lz = linalg.cholesky_blocked(Hz)
@@ -472,6 +627,21 @@ def relocalization_edge(graph: PoseGraph, belief_pose4: jnp.ndarray,
         edges_dropped=graph.edges_dropped + (
             match_ok & has_last & (last != 0) & ~room).astype(jnp.int32),
     )
+    if graph.node_rp is not None:
+        # 6-DoF mode: the FFT match is planar — lift it exactly like
+        # from_planar (yaw -> z-rotvec, 4x4 info embedded at (0,1,5,2),
+        # roll/pitch rows pinned: the planar match measures them as 0)
+        rel6 = jnp.concatenate([
+            rel[:2], rel[3:4], jnp.zeros(2, rel.dtype), rel[2:3]])
+        emb = jnp.array([0, 1, 5, 2])
+        info6 = jnp.zeros((6, 6), info4.dtype)
+        info6 = info6.at[emb[:, None], emb[None, :]].set(info4)
+        info6 = info6.at[3, 3].set(1e4).at[4, 4].set(1e4)
+        g = g.replace(
+            edge_rel6=g.edge_rel6.at[e].set(
+                jnp.where(do, rel6, g.edge_rel6[e])),
+            edge_info6=g.edge_info6.at[e].set(
+                jnp.where(do, info6, g.edge_info6[e])))
     return g, do
 
 
@@ -489,13 +659,11 @@ def regenerate_map_mls(graph: PoseGraph, mls_cfg, capacity: int):
 
     N = graph.kf_xyz.shape[0]
     grid0 = init_mls(mls_cfg)
+    world_xyz = _kf_world_xyz(graph)
 
     def add_kf(grid, i):
-        pose = graph.node_pose[i]
-        xy = se2_apply(pose[:3], graph.kf_xyz[i][:, :2])
-        z = graph.kf_xyz[i][:, 2] + pose[3]
         cloud = PointCloud(
-            xyz=jnp.concatenate([xy, z[:, None]], axis=-1),
+            xyz=world_xyz[i],
             valid=graph.kf_valid[i] & graph.node_valid[i],
             flags=graph.kf_flags[i])
         return add_to_mls(grid, cloud, mls_cfg), None
@@ -527,9 +695,7 @@ def home_command(graph: PoseGraph, mls_cfg, capacity: int):
 
     cfg3 = dataclasses.replace(mls_cfg, min_cluster_points=3.0)
     pose0 = graph.node_pose[0]
-    xy = se2_apply(pose0[:3], graph.kf_xyz[0][:, :2])
-    z = graph.kf_xyz[0][:, 2] + pose0[3]
-    cloud = PointCloud(xyz=jnp.concatenate([xy, z[:, None]], axis=-1),
+    cloud = PointCloud(xyz=_kf_world_xyz(graph)[0],
                        valid=graph.kf_valid[0] & graph.node_valid[0],
                        flags=graph.kf_flags[0])
     grid = add_to_mls(init_mls(cfg3), cloud, cfg3)
@@ -552,6 +718,26 @@ def mission_command(command: int, graph: PoseGraph, mls_cfg, capacity: int):
     return None
 
 
+def _kf_world_xyz(graph: PoseGraph) -> jnp.ndarray:
+    """(N, P, 3) keyframe clouds in the world frame under current node poses.
+
+    Planar mode: SE(2) x z (clouds are stored upright). 6-DoF mode: full
+    SE(3) — clouds are stored in the capture body frame and nodes carry
+    roll/pitch, so the whole rotation applies (regenerateGlobalMap under
+    VertexSE3 poses, graph_slam.cpp:260-280)."""
+    poses = graph.node_pose
+    if graph.node_rp is not None:
+        from slam_tpu.geometry import rot3_from_rpy
+        R = rot3_from_rpy(graph.node_rp[:, 0], graph.node_rp[:, 1],
+                          poses[:, 2])                       # (N, 3, 3)
+        t = jnp.stack([poses[:, 0], poses[:, 1], poses[:, 3]], -1)
+        return jnp.einsum("nab,npb->npa", R, graph.kf_xyz) + t[:, None, :]
+    xy = jax.vmap(lambda p, pts: se2_apply(p[:3], pts))(
+        poses, graph.kf_xyz[..., :2])
+    z = graph.kf_xyz[..., 2] + poses[:, None, 3]
+    return jnp.concatenate([xy, z[..., None]], axis=-1)
+
+
 def regenerate_map(graph: PoseGraph, capacity: int,
                    voxel_leaf=(0.5, 0.5, 2.0)) -> PointCloud:
     """Re-scatter all keyframe clouds under optimized poses into one map cloud
@@ -559,11 +745,7 @@ def regenerate_map(graph: PoseGraph, capacity: int,
     from slam_tpu.ops.voxel import voxel_downsample
 
     N, P, _ = graph.kf_xyz.shape
-    poses = graph.node_pose
-    xy = jax.vmap(lambda p, pts: se2_apply(p[:3], pts))(
-        poses, graph.kf_xyz[..., :2])
-    z = graph.kf_xyz[..., 2] + poses[:, None, 3]
-    xyz = jnp.concatenate([xy, z[..., None]], axis=-1).reshape(N * P, 3)
+    xyz = _kf_world_xyz(graph).reshape(N * P, 3)
     valid = (graph.kf_valid & graph.node_valid[:, None]).reshape(N * P)
     flags = graph.kf_flags.reshape(N * P)
     merged = PointCloud(xyz=xyz, valid=valid, flags=flags)

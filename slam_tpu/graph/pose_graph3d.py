@@ -330,7 +330,7 @@ def _edge_residuals_se3(node_t, node_R, graph: Se3Graph):
 
 def optimize_se3(graph: Se3Graph, iterations: int = 10,
                  lm_lambda: float = 1e-3,
-                 gauge_weight: float = 1e8) -> Se3Graph:
+                 gauge_weight: float = 1e5) -> Se3Graph:
     """Dense batched Gauss-Newton on the SE(3) manifold.
 
     Each iteration lifts the problem to the tangent at the current estimate
@@ -338,8 +338,11 @@ def optimize_se3(graph: Se3Graph, iterations: int = 10,
     R <- R Exp(dw) — the right/body convention), linearizes ALL edge
     residuals in one `jax.jacfwd`, assembles H = J^T Omega J as a dense
     6N x 6N matrix, and solves on the MXU. Node 0 carries a `gauge_weight`
-    prior (the g2o setFixed(0) of graph_slam.cpp:330-334); invalid nodes
-    get a unit prior so H stays well-conditioned at any fill level.
+    prior (the g2o setFixed(0) of graph_slam.cpp:330-334; 1e5 keeps the
+    f32 Cholesky's diagonal span at ~1e9 while still dominating the
+    largest edge informations by >=100x — see pose_graph.optimize);
+    invalid nodes get a unit prior so H stays well-conditioned at any
+    fill level.
 
     jits cleanly; vmap over a leading graph axis optimizes a fleet of
     graphs in one dispatch (the dense N is fixed by capacity)."""
@@ -417,6 +420,64 @@ def optimize_planar(graph: PoseGraph, cfg) -> tuple[PoseGraph, jnp.ndarray]:
     delta = new_pose[last] - pre_last
     delta = delta.at[2].set(angle_wrap(delta[2]))
     return graph.replace(node_pose=new_pose), delta
+
+
+def from_native(graph: PoseGraph) -> Se3Graph:
+    """Assemble the SE(3) problem from a 6-DoF product graph
+    (edge_registration="3d"): node rotations from the full roll/pitch/yaw,
+    edge measurements/informations straight from the 3D edge chain
+    (edge_rel6 = [t; rotvec], edge_info6 = LUM 6x6) — no planar lift, no
+    pinned roll/pitch rows. This is the reference's literal
+    VertexSE3/EdgeSE3 graph (graph_slam.cpp:43-49, 179-186) with its
+    measured 6-DoF edges (graphSlamTools.cpp:241-298)."""
+    from slam_tpu.geometry import rot3_from_rpy
+
+    poses = graph.node_pose
+    node_R = rot3_from_rpy(graph.node_rp[:, 0], graph.node_rp[:, 1],
+                           poses[:, 2])
+    node_t = jnp.stack([poses[:, 0], poses[:, 1], poses[:, 3]], -1)
+    return Se3Graph(node_t=node_t, node_R=node_R,
+                    node_valid=graph.node_valid,
+                    edge_ij=graph.edge_ij,
+                    edge_t=graph.edge_rel6[:, :3],
+                    edge_R=so3_exp(graph.edge_rel6[:, 3:]),
+                    edge_info=graph.edge_info6,
+                    edge_valid=graph.edge_valid)
+
+
+def optimize_native(graph: PoseGraph, cfg) -> tuple[PoseGraph, jnp.ndarray]:
+    """Product-path SE(3) optimization over MEASURED 6-DoF edges — the
+    engine="se3" + edge_registration="3d" route (the reference's full
+    optimizeGraph, graph_slam.cpp:322-390, with edges that genuinely
+    observe z and attitude).
+
+    Solves on the manifold, writes (x, y, yaw, z) AND node_rp back, and
+    returns the newest node's (x, y, yaw, z) pre/post delta for the
+    downstream map/EKF shifting (graph_slam.cpp:357-384 — the reference's
+    pose_offset topic is itself planar + z)."""
+    from slam_tpu.geometry import angle_wrap
+    from slam_tpu.graph.pose_graph import newest_node
+
+    last, _ = newest_node(graph)
+    pre_last = graph.node_pose[last]
+
+    se3 = from_native(graph)
+    se3 = optimize_se3(se3, iterations=cfg.opt_iterations,
+                       lm_lambda=cfg.lm_lambda)
+
+    yaw = jnp.arctan2(se3.node_R[:, 1, 0], se3.node_R[:, 0, 0])
+    # ZYX Euler extraction, inverse of rot3_from_rpy: r20 = -sin(pitch),
+    # r21 = cos(pitch) sin(roll), r22 = cos(pitch) cos(roll)
+    pitch = -jnp.arcsin(jnp.clip(se3.node_R[:, 2, 0], -1.0, 1.0))
+    roll = jnp.arctan2(se3.node_R[:, 2, 1], se3.node_R[:, 2, 2])
+    new_pose = jnp.stack([se3.node_t[:, 0], se3.node_t[:, 1], yaw,
+                          se3.node_t[:, 2]], axis=-1)
+    keep = graph.node_valid[:, None]
+    new_pose = jnp.where(keep, new_pose, graph.node_pose)
+    new_rp = jnp.where(keep, jnp.stack([roll, pitch], -1), graph.node_rp)
+    delta = new_pose[last] - pre_last
+    delta = delta.at[2].set(angle_wrap(delta[2]))
+    return graph.replace(node_pose=new_pose, node_rp=new_rp), delta
 
 
 def total_chi2(graph: Se3Graph) -> jnp.ndarray:

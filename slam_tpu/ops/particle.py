@@ -30,11 +30,18 @@ class PFConfig(NamedTuple):
     # score every k-th scan point (classic MCL beam skipping): the scoring
     # gather is the entire PF cost on TPU (serialized ~6 ns/element; P x N
     # per robot per tick), and the hit FRACTION is an unbiased estimate at
-    # any stride — stride 4 keeps the estimator's std under ~0.05 while
-    # cutting the matcher cost 4x (measured 313 -> 98 ms/tick at b1024).
+    # any stride — stride adds estimator noise (~0.05 std at stride 4 with
+    # 96 scored points) but cuts the matcher cost ~linearly (measured
+    # 313 -> 131 ms/tick at b1024 from the stride alone; the flat-gather
+    # restructure then took 131 -> 93, docs/PERF.md config-5 section).
     # Scan points are beam-ordered, so a stride keeps angular coverage
-    # uniform.
-    score_stride: int = 4
+    # uniform. Default 1 = exact estimator; opt into 4 where throughput
+    # matters and the min_score gate has margin (see config.py PfConfig).
+    score_stride: int = 1
+    # scoring engine: "gather" (per-point lookups — CPU-fast, TPU-slow),
+    # "dense" (one-hot MXU contractions), "pallas" (dense with VMEM-resident
+    # one-hots), "auto" (pallas on TPU, gather elsewhere). Identical scores.
+    scorer: str = "auto"
 
 
 class PFResult(NamedTuple):
@@ -70,6 +77,146 @@ def score_pose(grid: PointMapGrid, scan_xy: jnp.ndarray, valid: jnp.ndarray,
     return hits / jnp.maximum(jnp.sum(valid), 1)
 
 
+def _cell_indices(grid_center, G, scan_xy, poses, resolution):
+    """(..., N) int32 cell coordinates of scan points under pose(s)."""
+    world = se2_apply(poses, scan_xy)
+    rel = world - grid_center
+    cx = jnp.floor(rel[..., 0] / resolution).astype(jnp.int32) + G // 2
+    cy = jnp.floor(rel[..., 1] / resolution).astype(jnp.int32) + G // 2
+    return cx, cy
+
+
+def score_particles_dense(grid: PointMapGrid, scan_xy: jnp.ndarray,
+                          valid: jnp.ndarray, particles: jnp.ndarray,
+                          resolution: float,
+                          chunk: int = 16) -> jnp.ndarray:
+    """All-particle occupancy scoring WITHOUT per-point gathers: the
+    (particle, point) -> occ[cx, cy] lookup becomes two one-hot
+    contractions the MXU eats.
+
+        hit(p, i) = sum_g onehot(cx)[p,i,g] * occ[g,h] * onehot(cy)[p,i,h]
+
+    Exactly score_pose's semantics: out-of-bounds indices match no one-hot
+    column (hit 0 == the inb gate), one-hots are 0/1-exact in bf16, the
+    row result is an exact 0/1, and the final hit count is an exact small
+    integer in f32. On TPU this replaces ~P*N serialized ~6-10 ns gathers
+    per robot (the entire config-5 budget, docs/PERF.md) with dense MXU
+    work. Chunked over particles so the batched one-hot intermediates stay
+    bounded: (B_vmap, chunk, N, G) rather than (B_vmap, P, N, G).
+
+    Returns (P,) hit fractions.
+    """
+    G = grid.count.shape[0]
+    occ = (grid.count > 0).astype(jnp.bfloat16)              # (G, G)
+    P = particles.shape[0]
+    denom = jnp.maximum(jnp.sum(valid), 1).astype(jnp.float32)
+    w = valid.astype(jnp.float32)
+    iota = jnp.arange(G, dtype=jnp.int32)
+
+    pad = (-P) % chunk
+    parts = jnp.concatenate(
+        [particles, jnp.zeros((pad, 3), particles.dtype)]) if pad else \
+        particles
+    blocks = parts.reshape(-1, chunk, 3)
+
+    def score_chunk(_, pblock):
+        cx, cy = _cell_indices(grid.center, G, scan_xy, pblock,
+                               resolution)                   # (C, N)
+        ohx = (cx[..., None] == iota).astype(jnp.bfloat16)   # (C, N, G)
+        ohy = (cy[..., None] == iota).astype(jnp.bfloat16)
+        t = jnp.einsum("cng,gh->cnh", ohx, occ,
+                       preferred_element_type=jnp.float32)
+        hit = jnp.einsum("cnh,cnh->cn", t, ohy.astype(jnp.float32))
+        return None, jnp.sum(hit * w, axis=-1)               # (C,)
+
+    _, hits = jax.lax.scan(score_chunk, None, blocks)
+    return hits.reshape(-1)[:P] / denom
+
+
+def _pf_scores_pallas(grid: PointMapGrid, scan_xy, valid, particles,
+                      resolution: float, chunk: int = 32,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Pallas version of score_particles_dense: the occupancy table and the
+    one-hot intermediates live in VMEM, so the only HBM traffic is the
+    (N, 2) scan, (P, 3) particles and (G, G) table — the dense XLA path
+    round-trips (chunk, N, G) one-hots through HBM instead. Grid is over
+    particle chunks; vmap over robots adds the fleet dimension.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    G = grid.count.shape[0]
+    N = scan_xy.shape[0]
+    P = particles.shape[0]
+    pad = (-P) % chunk
+    parts = jnp.concatenate(
+        [particles, jnp.zeros((pad, 3), particles.dtype)]) if pad else \
+        particles
+    Ppad = parts.shape[0]
+    occ = (grid.count > 0).astype(jnp.bfloat16)
+    w = valid.astype(jnp.float32)
+    inv_res = float(1.0 / resolution)   # python constant: closable by pallas
+
+    def kernel(scan_ref, w_ref, parts_ref, occ_ref, center_ref, out_ref):
+        pb = parts_ref[:]                                    # (C, 3)
+        sx = scan_ref[:, 0][None, :]                         # (1, N)
+        sy = scan_ref[:, 1][None, :]
+        c = jnp.cos(pb[:, 2])[:, None]                       # (C, 1)
+        s = jnp.sin(pb[:, 2])[:, None]
+        wx = c * sx - s * sy + pb[:, 0][:, None] - center_ref[0, 0]
+        wy = s * sx + c * sy + pb[:, 1][:, None] - center_ref[0, 1]
+        cx = jnp.floor(wx * inv_res).astype(jnp.int32) + G // 2
+        cy = jnp.floor(wy * inv_res).astype(jnp.int32) + G // 2
+        iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, G), 2)
+        ohx = (cx[..., None] == iota).astype(jnp.bfloat16)   # (C, N, G)
+        ohy = (cy[..., None] == iota).astype(jnp.bfloat16)
+        t = jax.lax.dot_general(
+            ohx, occ_ref[:], (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # (C, N, G)
+        hit = jnp.sum(t * ohy.astype(jnp.float32), axis=-1)  # (C, N)
+        out_ref[:] = jnp.sum(hit * w_ref[:][None, :], axis=-1)
+
+    hits = pl.pallas_call(
+        kernel,
+        grid=(Ppad // chunk,),
+        in_specs=[
+            pl.BlockSpec((N, 2), lambda i: (0, 0)),          # scan
+            pl.BlockSpec((N,), lambda i: (0,)),              # weights
+            pl.BlockSpec((chunk, 3), lambda i: (i, 0)),      # particles
+            pl.BlockSpec((G, G), lambda i: (0, 0)),          # occupancy
+            pl.BlockSpec((1, 2), lambda i: (0, 0)),          # center
+        ],
+        out_specs=pl.BlockSpec((chunk,), lambda i: (i,)),
+        out_shape=jax.ShapeDtypeStruct((Ppad,), jnp.float32),
+        interpret=interpret,
+    )(scan_xy, w, parts, occ, grid.center[None, :])
+    denom = jnp.maximum(jnp.sum(valid), 1).astype(jnp.float32)
+    return hits[:P] / denom
+
+
+def score_particles(grid: PointMapGrid, scan_xy, valid, particles,
+                    resolution: float, cfg: "PFConfig",
+                    occ_flat=None) -> jnp.ndarray:
+    """(P,) hit fractions — engine dispatch. "gather" is the original
+    per-point lookup (fastest on CPU backends, serialized on TPU);
+    "dense" is the one-hot MXU formulation; "pallas" keeps it in VMEM;
+    "auto" picks pallas on TPU, gather elsewhere. All three produce
+    identical scores (tests/test_utils_particle.py)."""
+    engine = getattr(cfg, "scorer", "auto")
+    if engine == "auto":
+        engine = "pallas" if jax.default_backend() == "tpu" else "gather"
+    if engine == "pallas":
+        return _pf_scores_pallas(grid, scan_xy, valid, particles, resolution,
+                                 interpret=jax.default_backend() != "tpu")
+    if engine == "dense":
+        return score_particles_dense(grid, scan_xy, valid, particles,
+                                     resolution)
+    occ = occupancy_flat(grid) if occ_flat is None else occ_flat
+    return jax.vmap(
+        lambda p: score_pose(grid, scan_xy, valid, p, resolution, occ)
+    )(particles)
+
+
 def pf_match(key: jnp.ndarray, grid: PointMapGrid, scan: PointCloud,
              pred_pose: jnp.ndarray, resolution: float,
              cfg: PFConfig = PFConfig()) -> PFResult:
@@ -85,10 +232,8 @@ def pf_match(key: jnp.ndarray, grid: PointMapGrid, scan: PointCloud,
     st = max(1, int(cfg.score_stride))
     scan_xy = scan.xyz[::st, :2]
     valid = scan.valid[::st]
-    occ = occupancy_flat(grid)                    # shared by all particles
-    scores = jax.vmap(
-        lambda p: score_pose(grid, scan_xy, valid, p, resolution, occ)
-    )(particles)                                              # (P,)
+    scores = score_particles(grid, scan_xy, valid, particles, resolution,
+                             cfg)                             # (P,)
 
     w = jax.nn.softmax(scores / cfg.temperature)
     # weighted circular mean for yaw
@@ -108,6 +253,7 @@ def pf_match(key: jnp.ndarray, grid: PointMapGrid, scan: PointCloud,
     # particle: on a multimodal posterior (corridor ambiguity) the softmax
     # mean can land between two well-scoring modes where the scan matches
     # nothing — gating on max(scores) would accept exactly that pose
-    out_score = score_pose(grid, scan_xy, valid, pose, resolution, occ)
+    out_score = score_particles(grid, scan_xy, valid, pose[None, :],
+                                resolution, cfg)[0]
     return PFResult(pose=pose, score=out_score,
                     ok=out_score >= cfg.min_score, particles=resampled)

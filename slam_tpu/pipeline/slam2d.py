@@ -552,17 +552,38 @@ def graph_update_delta(state: SlamState,
     """
     from slam_tpu.graph import pose_graph as pg
 
+    kf_cloud = state.prev_scene
+    if state.prev_ground is not None:
+        # 6-DoF keyframes carry ground points like the reference's raw
+        # voxelized keyframe clouds (graphSlamTools.cpp:279-286) — without
+        # them 3D edge registration can't observe z (obstacle walls are
+        # vertical). Obstacles first so compact() never truncates them.
+        kf_cloud = PointCloud(
+            xyz=jnp.concatenate([state.prev_scene.xyz,
+                                 state.prev_ground.xyz]),
+            valid=jnp.concatenate([state.prev_scene.valid,
+                                   state.prev_ground.valid]),
+            flags=jnp.concatenate([state.prev_scene.flags,
+                                   state.prev_ground.flags]))
     graph, added = pg.add_keyframe(
-        state.graph, state.pose, state.prev_scene, cfg.icp, cfg.graph,
-        min_points=cfg.graph.min_keyframe_points)
+        state.graph, state.pose, kf_cloud, cfg.icp, cfg.graph,
+        min_points=cfg.graph.min_keyframe_points,
+        attitude=state.attitude)
 
     def do_opt(g):
         if cfg.graph.engine == "se3":
-            # the reference's literal g2o typing (VertexSE3/EdgeSE3,
-            # graph_slam.cpp:43-49): solve on the SE(3) manifold with the
-            # 6x6 LUM information embedding
-            from slam_tpu.graph.pose_graph3d import optimize_planar
-            g, delta = optimize_planar(g, cfg.graph)
+            if cfg.graph.edge_registration == "3d":
+                # full 6-DoF chain: 3D edge ICP measurements + LUM6
+                # information consumed natively on the SE(3) manifold
+                # (graphSlamTools.cpp:241-298 -> graph_slam.cpp:322-390)
+                from slam_tpu.graph.pose_graph3d import optimize_native
+                g, delta = optimize_native(g, cfg.graph)
+            else:
+                # the reference's literal g2o typing (VertexSE3/EdgeSE3,
+                # graph_slam.cpp:43-49) over planar-ICP edges: lift with
+                # the 6x6 LUM embedding and solve on the manifold
+                from slam_tpu.graph.pose_graph3d import optimize_planar
+                g, delta = optimize_planar(g, cfg.graph)
         else:
             g, delta = pg.optimize(g, cfg.graph)
         return g, delta

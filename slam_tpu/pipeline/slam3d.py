@@ -52,8 +52,16 @@ def init_state_3d(key, cfg: SlamConfig, world: World3D,
     if s.map_grid is None:
         s = s.replace(map_grid=init_point_map(cfg.mls.size_x, cfg.icp.voxel_leaf_obs[0]))
     z0 = world3d.terrain_height(world, jnp.zeros(2)) + cfg.sim.sensor_height
-    return s.replace(pose=s.pose.at[3].set(z0),
-                     true_pose=s.true_pose.at[3].set(z0))
+    s = s.replace(pose=s.pose.at[3].set(z0),
+                  true_pose=s.true_pose.at[3].set(z0),
+                  # measured IMU attitude carry (keyframe capture attitude
+                  # for the 6-DoF graph; zeros until the first frame's IMU
+                  # reading lands)
+                  attitude=jnp.zeros(2, s.pose.dtype))
+    if with_graph and cfg.graph.edge_registration == "3d":
+        # ground-point carry for 6-DoF keyframes (see SlamState.prev_ground)
+        s = s.replace(prev_ground=make_cloud(cfg.graph.keyframe_points))
+    return s
 
 
 def init_ground_map(cfg: SlamConfig) -> GroundMap:
@@ -185,7 +193,8 @@ def slam_step_3d(state: SlamState, world: World3D, ground_map: GroundMap,
 
     new_state, gm = process_frame_3d(
         state, ground_map, scan_tilted, hit, roll + imu_noise[0],
-        pitch + imu_noise[1], gyro, cmd, cfg, refresh_map=refresh_map,
+        pitch + imu_noise[1] + cfg.sim.imu_pitch_bias,
+        gyro, cmd, cfg, refresh_map=refresh_map,
         shift_maps=shift_maps, target_planes=target_planes, field=field,
         incremental_map=incremental_map)
     return new_state.replace(
@@ -375,6 +384,21 @@ def process_frame_3d(state: SlamState, ground_map: GroundMap, scan_tilted,
     prev_scene = _fit_capacity(
         _planes_to_cloud_3d(ox, oy, oz, oga, odrv, ovalid),
         state.prev_scene.capacity)
+    prev_ground = state.prev_ground
+    if prev_ground is not None:
+        # strided ground sample (beam order -> uniform angular/ring
+        # coverage) for the 6-DoF keyframe merge; robot frame like
+        # prev_scene — add_keyframe tilts the merged cloud to body frame
+        from slam_tpu.ops.voxel import compact_planes
+        cap = prev_ground.capacity
+        stride = max(1, gx.shape[0] // cap)
+        (pgx, pgy, pgz), pgv = compact_planes(
+            (gx[::stride], gy[::stride], gz[::stride]),
+            gvalid[::stride], cap)
+        prev_ground = PointCloud(
+            xyz=jnp.where(pgv[:, None], jnp.stack([pgx, pgy, pgz], -1), 0.0),
+            valid=pgv,
+            flags=jnp.where(pgv, PointCloud.FLAG_GROUND, 0).astype(jnp.int32))
     new_state = state.replace(
         ekf=ekf,
         pose=pose4,
@@ -386,6 +410,11 @@ def process_frame_3d(state: SlamState, ground_map: GroundMap, scan_tilted,
         map_grid=mg,
         step=state.step + 1,
         metrics_ring=ring,
+        # measured IMU attitude of THIS frame (sanitized above) — consumed
+        # as the keyframe capture attitude by the 6-DoF graph path
+        attitude=(jnp.stack([roll, pitch])
+                  if state.attitude is not None else None),
+        prev_ground=prev_ground,
     )
     return new_state, GroundMap(grid=gg, cloud=gnd_cloud)
 

@@ -123,6 +123,14 @@ class PoseGraph:
     edges_dropped: () int32 — accepted measurements lost to a full edge
         table (never silently: loop closures / odometry edges that could
         not be stored; nonzero means max_edges is undersized)
+
+    6-DoF extension (present iff GraphConfig.edge_registration == "3d" —
+    the reference's full-3D GICP edge chain, graphSlamTools.cpp:241-298,
+    feeding VertexSE3/EdgeSE3, graph_slam.cpp:43-49; None in planar mode):
+    node_rp:   (N, 2) — node roll, pitch (yaw lives in node_pose[:, 2])
+    edge_rel6: (E, 6) — measured SE(3) edge [t_x t_y t_z | rotvec], from-frame
+    edge_info6:(E, 6, 6) — LUM 6x6 information, tangent order [t; w]
+        (computeEdgeInformationLUM, graphSlamTools.cpp:152-176)
     """
 
     node_pose: jnp.ndarray
@@ -140,6 +148,9 @@ class PoseGraph:
     num_nodes: jnp.ndarray
     num_edges: jnp.ndarray
     edges_dropped: jnp.ndarray
+    node_rp: object = None      # Optional[(N, 2)] — see 6-DoF extension above
+    edge_rel6: object = None    # Optional[(E, 6)]
+    edge_info6: object = None   # Optional[(E, 6, 6)]
 
 
 @struct.dataclass
@@ -164,3 +175,13 @@ class SlamState:
     metrics_ring: object = None  # Optional (buf, idx) device metrics ring
     #   (utils/metrics.py init_ring) — the on-TPU observability fallback
     #   where host callbacks are unsupported; drained post-block
+    attitude: object = None      # Optional[(2,)] last measured IMU roll/pitch
+    #   (3D pipeline only; feeds keyframe capture attitude for the 6-DoF
+    #   graph — the reference's velodyne-frame keyframes carry the tilt in
+    #   the data, graph_slam.cpp:503)
+    prev_ground: object = None   # Optional[PointCloud] last tick's ground
+    #   points (robot frame, strided) — merged into 6-DoF keyframes so 3D
+    #   edge registration observes z/attitude the way the reference's
+    #   raw voxelized keyframe clouds do (graphSlamTools.cpp:279-286);
+    #   obstacle-only keyframes leave z nearly unconstrained (vertical
+    #   cylinder walls slide in z)

@@ -221,7 +221,9 @@ def test_pipeline_matches_reference_oracle():
     cfg = parity_cfg()
     world = world2d.make_world(jax.random.PRNGKey(42), cfg.sim)
     frames = _render_frames(cfg, world, 40)
-    ref = oracle_slam(cfg, frames)
+    from tests.golden_cache import cached_oracle
+    ref = cached_oracle("parity2d", oracle_slam, (cfg,), frames,
+                        lambda: oracle_slam(cfg, frames))
     got = ours_slam(cfg, frames)
     err = np.linalg.norm(got[:, :2] - ref[:, :2], axis=1)
     ate = float(np.sqrt(np.mean(err[5:] ** 2)))
@@ -257,7 +259,9 @@ def test_approx_export_explains_tpu_gap():
     )
     world = world2d.make_world(jax.random.PRNGKey(42), cfg.sim)
     frames = _render_frames(cfg, world, 30)
-    ref = oracle_slam(cfg, frames)
+    from tests.golden_cache import cached_oracle
+    ref = cached_oracle("parity2d", oracle_slam, (cfg,), frames,
+                        lambda: oracle_slam(cfg, frames))
 
     def approx_emul(x, k, recall_target=0.95, **kw):
         import jax.numpy as jnp

@@ -266,7 +266,10 @@ def test_3d_pipeline_matches_reference_oracle():
     frames = _render_frames(cfg, world, 30)
     z0 = world3d.terrain_height(world, jnp.zeros(2)) + cfg.sim.sensor_height
 
-    ref = oracle_slam3d(cfg, world, frames, float(z0))
+    from tests.golden_cache import cached_oracle
+    ref = cached_oracle("parity3d", oracle_slam3d, (cfg, float(z0)),
+                        (world, frames),
+                        lambda: oracle_slam3d(cfg, world, frames, float(z0)))
     got = ours_slam3d(cfg, world, frames)
 
     warm = 5

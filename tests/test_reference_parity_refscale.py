@@ -57,7 +57,11 @@ def test_refscale_pipeline_matches_reference_oracle():
         "fixture scans must pass the reference's completeness gate"
     z0 = world3d.terrain_height(world, jnp.zeros(2)) + cfg.sim.sensor_height
 
-    ref = tp3.oracle_slam3d(cfg, world, frames, float(z0))
+    from tests.golden_cache import cached_oracle
+    ref = cached_oracle("parity_refscale", tp3.oracle_slam3d,
+                        (cfg, float(z0)), (world, frames),
+                        lambda: tp3.oracle_slam3d(cfg, world, frames,
+                                                  float(z0)))
     got = tp3.ours_slam3d(cfg, world, frames)
 
     warm = 2

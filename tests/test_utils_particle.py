@@ -108,3 +108,51 @@ def test_pf_match_vmappable():
     res = fn(keys, preds)
     assert res.pose.shape == (B, 3)
     assert bool(res.ok.all())
+
+
+def test_score_engines_identical():
+    """gather / dense / pallas scoring engines must produce IDENTICAL hit
+    fractions (the dense one-hot contraction and the VMEM kernel are exact
+    0/1 algebra, not approximations) — including under vmap with a shared
+    unbatched grid, the config-5 call shape."""
+    from slam_tpu.ops.particle import score_particles
+
+    grid, scan, true_pose = _make_grid_and_scan(3)
+    rng = np.random.default_rng(7)
+    parts = true_pose + rng.normal(0, 0.4, (48, 3)).astype(np.float32)
+    parts[0] = true_pose            # guarantee one high-scoring particle
+    parts = jnp.asarray(parts)
+    scan_xy = scan.xyz[..., :2]
+    got = {}
+    for engine in ("gather", "dense", "pallas"):
+        got[engine] = np.asarray(score_particles(
+            grid, scan_xy, scan.valid, parts, 0.5,
+            PFConfig(scorer=engine)))
+    np.testing.assert_array_equal(got["gather"], got["dense"])
+    np.testing.assert_array_equal(got["gather"], got["pallas"])
+    assert got["gather"].max() > 0.5  # sanity: some particle matches
+
+    # vmapped (fleet shape): batched scans/particles, shared grid closure
+    B = 3
+    bscan = jnp.broadcast_to(scan_xy, (B,) + scan_xy.shape)
+    bvalid = jnp.broadcast_to(scan.valid, (B,) + scan.valid.shape)
+    bparts = jnp.broadcast_to(parts, (B,) + parts.shape)
+    for engine in ("pallas", "dense"):
+        fb = jax.vmap(lambda s, v, p: score_particles(
+            grid, s, v, p, 0.5, PFConfig(scorer=engine)))(
+            bscan, bvalid, bparts)
+        np.testing.assert_array_equal(np.asarray(fb[0]), got["gather"])
+
+
+def test_pf_match_engine_agreement():
+    """pf_match end-to-end (proposal -> scores -> softmax pose -> gate) must
+    be identical across scoring engines."""
+    grid, scan, true_pose = _make_grid_and_scan(4)
+    pred = jnp.array(true_pose + np.array([0.2, -0.15, 0.02], np.float32))
+    outs = [pf_match(jax.random.PRNGKey(5), grid, scan, pred, 0.5,
+                     PFConfig(num_particles=64, scorer=e))
+            for e in ("gather", "dense", "pallas")]
+    for o in outs[1:]:
+        np.testing.assert_allclose(np.asarray(o.pose),
+                                   np.asarray(outs[0].pose), atol=1e-6)
+        assert bool(o.ok) == bool(outs[0].ok)

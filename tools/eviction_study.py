@@ -39,6 +39,9 @@ def main():
     ap.add_argument("--kf-dist", type=float, default=1.0,
                     help="keyframe spacing [m] (shrunk from the reference's "
                          "5 m so the mission overruns capacity on CPU time)")
+    ap.add_argument("--degree-weight", type=float, default=None,
+                    help="evict_degree_weight override (0 = the round-1 "
+                         "pure-redundancy policy)")
     args = ap.parse_args()
 
     from slam_tpu.config import sim2d_config
@@ -46,11 +49,11 @@ def main():
     from slam_tpu.sim import world2d
 
     c = sim2d_config()
-    cfg = dataclasses.replace(
-        c, graph=dataclasses.replace(
-            c.graph, max_nodes=args.max_nodes,
-            max_edges=4 * args.max_nodes,
-            keyframe_points=256, knn_dist_thresh=args.kf_dist))
+    gkw = dict(max_nodes=args.max_nodes, max_edges=4 * args.max_nodes,
+               keyframe_points=256, knn_dist_thresh=args.kf_dist)
+    if args.degree_weight is not None:
+        gkw["evict_degree_weight"] = args.degree_weight
+    cfg = dataclasses.replace(c, graph=dataclasses.replace(c.graph, **gkw))
     world = world2d.make_world(jax.random.PRNGKey(42), cfg.sim)
     st = slam2d.init_state(jax.random.PRNGKey(0), cfg, with_graph=True)
     final, (est, true) = slam2d.rollout_with_graph(
@@ -61,7 +64,8 @@ def main():
     q = T // 4
     segs = [float(np.sqrt((err[i * q:(i + 1) * q] ** 2).mean()))
             for i in range(4)]
-    print(f"max_nodes={args.max_nodes} kf_dist={args.kf_dist} steps={T}: "
+    print(f"max_nodes={args.max_nodes} kf_dist={args.kf_dist} "
+          f"degree_weight={cfg.graph.evict_degree_weight} steps={T}: "
           f"nodes={int(final.graph.num_nodes)} "
           f"edges={int(final.graph.num_edges)} "
           f"edges_dropped={int(final.graph.edges_dropped)} "
