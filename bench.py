@@ -389,7 +389,11 @@ def bench_graph(batch, steps, repeats, cost=None):
 
     cfg = sim2d_config()
     cfg = cfg.replace(graph=dataclasses.replace(
-        cfg.graph, max_nodes=32, max_edges=128, keyframe_points=384))
+        cfg.graph, max_nodes=32, max_edges=128, keyframe_points=384,
+        # sort-free map regeneration — EXACTLY the voxel engine's centroid
+        # set on 2D graphs (tests/test_pose_graph.py equivalence), 2.6x the
+        # block throughput (docs/PERF.md config-4 section)
+        map_regen="grid", regen_grid_bins=256))
     world = world2d.make_world(jax.random.PRNGKey(42), cfg.sim)
     keys = jax.random.split(jax.random.PRNGKey(0), batch)
     states = jax.vmap(

@@ -174,6 +174,12 @@ class GraphConfig:
     # pure-redundancy policy that cost 7x ATE at 4x capacity overrun
     # (docs/PERF.md eviction study)
     evict_degree_weight: float = 0.5
+    # eviction never touches the newest K keyframes; 1 = only the newest
+    # (trajectory continuity). MEASURED: larger windows hurt — protecting
+    # recents forces eviction of the mid-history nodes that anchor loop
+    # closures (Q4 at 4x overrun: K=1 -> 41 cm, K=4/8 -> 73 cm,
+    # tools/eviction_study.py)
+    evict_protect_recent: int = 1
     # graph optimizer engine:
     #   "se2z" — SE(2) x z dense GN (pose_graph.optimize; the production
     #            default — the reference's edges are planar-ICP derived, so
@@ -205,7 +211,15 @@ class GraphConfig:
     #   "mls"   — the reference's exact dataflow: rebuild the global MLS and
     #             export cluster means (graph_slam.cpp:260-280 ->
     #             mls.cpp:520-555 getSegmentedClouds)
+    #   "grid"  — sort-free: scatter all keyframe points into a 2D centroid
+    #             grid around the newest node + occupied-cell export
+    #             (pose_graph.regenerate_map_grid — the fastest engine on
+    #             TPU; xy semantics of "voxel" with per-cell mean z)
     map_regen: str = "voxel"
+    # "grid" regeneration coverage: +-regen_grid_bins*voxel_leaf/2 around
+    # the newest node (default +-96 m at 0.5 m — wider than the matcher's
+    # +-75 m crop, icpTools.cpp:230)
+    regen_grid_bins: int = 384
     # relocalization loop-closure edge weight (global_match.cpp:40-41,193-195
     # COV_XY/COV_YAW; passed through as g2o information per the edge
     # factory's wiring, graph_slam.cpp:198-199 `info = gE.edgeInf`)

@@ -14,10 +14,17 @@ Replaces:
   - regenerateGlobalMap (graph_slam.cpp:260-280): re-scatter of all keyframe
     clouds under optimized poses into the map target.
 
-Deviation (documented): the reference optimizes full SE(3); our scan matcher
-is planar (2D ICP + height interpolation, like the reference's), so nodes are
-(x, y, yaw) + an independent 1D z chain. Roll/pitch never enter the reference
-graph either — its edges come from the same planar ICP.
+Deviation (measured boundary): the default engine optimizes SE(2) x z with
+edge z taken from the pose difference — fine where edges carry no attitude
+signal, but a loop-closure edge's z then CONFIRMS accumulated drift rather
+than correcting it. The reference's full chain (3D GICP edge refinement on
+velodyne-frame keyframes -> 6x6 LUM -> VertexSE3/EdgeSE3,
+graphSlamTools.cpp:241-298) is available as `engine="se3"` +
+`edge_registration="3d"` (_edge_measurement_3d + pose_graph3d
+.optimize_native); tests/test_graph_se3_edges.py measures the boundary: a
+drifted-z loop collapses to <6 cm under 3D edges while the planar chain
+keeps the full drift, and a biased-IMU ramp mission improves node-z 25%.
+Use the planar default on benign terrain (same accuracy, cheaper edges).
 """
 
 from __future__ import annotations
@@ -236,7 +243,8 @@ def newest_node(graph: PoseGraph) -> tuple[jnp.ndarray, jnp.ndarray]:
     return jnp.argmax(stamp), jnp.max(stamp) >= 0
 
 
-def _eviction_slot(graph: PoseGraph, degree_weight: float = 0.5):
+def _eviction_slot(graph: PoseGraph, degree_weight: float = 0.5,
+                   protect_recent: int = 1):
     """Cheapest keyframe to evict: spatial redundancy (small distance to
     another keyframe) DISCOUNTED by graph connectivity, excluding node 0
     (the gauge/home anchor, graph_slam.cpp:102-146 HOME rebuilds from
@@ -264,9 +272,13 @@ def _eviction_slot(graph: PoseGraph, degree_weight: float = 0.5):
     degree = (jnp.sum(jax.nn.one_hot(graph.edge_ij[:, 0], N) * ev[:, None], 0)
               + jnp.sum(jax.nn.one_hot(graph.edge_ij[:, 1], N)
                         * ev[:, None], 0))
-    newest, _ = newest_node(graph)
+    # protect the `protect_recent` newest nodes (trajectory continuity —
+    # the local map around the robot is regenerated from exactly these;
+    # protect_recent=1 is the newest-node exclusion alone)
+    k = max(1, int(protect_recent))
+    recent = graph.node_stamp > (jnp.max(graph.node_stamp) - k)
     score = jnp.where(
-        graph.node_valid & (jnp.arange(N) != 0) & (jnp.arange(N) != newest),
+        graph.node_valid & (jnp.arange(N) != 0) & ~recent,
         dmin + degree_weight * degree, jnp.inf)
     return jnp.argmin(score), jnp.isfinite(jnp.min(score))
 
@@ -305,7 +317,8 @@ def add_keyframe(graph: PoseGraph, pose: jnp.ndarray, cloud: PointCloud,
     want = (far_enough | first) & enough_pts
 
     evict_slot, evictable = _eviction_slot(
-        graph, degree_weight=cfg.evict_degree_weight)
+        graph, degree_weight=cfg.evict_degree_weight,
+        protect_recent=cfg.evict_protect_recent)
     add = want & (has_room | evictable)
     evicting = add & ~has_room
 
@@ -750,3 +763,47 @@ def regenerate_map(graph: PoseGraph, capacity: int,
     flags = graph.kf_flags.reshape(N * P)
     merged = PointCloud(xyz=xyz, valid=valid, flags=flags)
     return voxel_downsample(merged, voxel_leaf, capacity)
+
+
+def regenerate_map_grid(graph: PoseGraph, capacity: int,
+                        resolution: float = 0.5, grid_bins: int = 384,
+                        ga_threshold: int = 2,
+                        recall: float = 1.0) -> PointCloud:
+    """Sort-free regenerateGlobalMap: scatter all keyframe points into a
+    2D centroid grid centered on the newest node and export occupied-cell
+    centroids (the exact engine the incremental map uses,
+    mapping/point_map.py — one one-hot matmul scatter + top-k export).
+
+    Why: the voxel_downsample path argsorts the N*P merged cloud per robot
+    (12,288 points at config-4 shapes) — measured 236 ms of a 361 ms
+    graph tick at b256, the dominant config-4 sink after the round-4
+    optimizer rewrite (docs/PERF.md round-5 section). The grid engine
+    replaces sort+searchsorted with MXU contractions.
+
+    Semantics vs regenerate_map: xy cells at `resolution` (= the voxel
+    leaf's xy) with PER-CELL mean z, instead of 3D voxels with a 2 m z
+    leaf — identical whenever a cell's points span < 2 m of z (flat-world
+    2D pipelines: exactly identical cell set). Coverage is bounded to
+    +-grid_bins*resolution/2 around the NEWEST node (default +-96 m) —
+    wider than the matcher's own +-75 m crop window
+    (icpTools.cpp:226-239), so no consumer sees the difference. GA flags
+    are re-derived from grid occupancy (classifyPoints rule); graph-mode
+    registration reclassifies GA around the robot anyway
+    (register_scan(reclassify=True))."""
+    from slam_tpu.mapping.point_map import (export_points, init_point_map,
+                                            update_point_map_xy)
+
+    N, P, _ = graph.kf_xyz.shape
+    xyz = _kf_world_xyz(graph)
+    x = xyz[..., 0].reshape(N * P)
+    y = xyz[..., 1].reshape(N * P)
+    z = xyz[..., 2].reshape(N * P)
+    valid = (graph.kf_valid & graph.node_valid[:, None]).reshape(N * P)
+    last, _ = newest_node(graph)
+    center = jnp.round(graph.node_pose[last, :2] / resolution) * resolution
+    grid = init_point_map(grid_bins, resolution)
+    grid = grid.replace(center=center.astype(grid.center.dtype))
+    grid = update_point_map_xy(grid, x, y, z, valid, resolution,
+                               z_precision=jax.lax.Precision.HIGH)
+    return export_points(grid, capacity, ga_threshold=ga_threshold,
+                         recall=recall)

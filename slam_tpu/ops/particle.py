@@ -170,28 +170,36 @@ def _pf_scores_pallas(grid: PointMapGrid, scan_xy, valid, particles,
         iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, G), 2)
         ohx = (cx[..., None] == iota).astype(jnp.bfloat16)   # (C, N, G)
         ohy = (cy[..., None] == iota).astype(jnp.bfloat16)
+        # precision DEFAULT: the session-wide HIGHEST override would ask
+        # Mosaic for an fp32-contract matmul on bf16 operands ("Bad lhs
+        # type"); bf16-multiply/f32-accumulate is exact here anyway (0/1
+        # operands, row sums <= G)
         t = jax.lax.dot_general(
             ohx, occ_ref[:], (((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)              # (C, N, G)
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)             # (C, N, G)
         hit = jnp.sum(t * ohy.astype(jnp.float32), axis=-1)  # (C, N)
-        out_ref[:] = jnp.sum(hit * w_ref[:][None, :], axis=-1)
+        out_ref[:] = jnp.sum(hit * w_ref[0, :][None, :],
+                             axis=-1)[:, None]               # (C, 1)
 
+    # 1-D operands ride as (1, N) / (Ppad, 1): Mosaic requires >=2-D blocks
+    # whose trailing dims are (8, 128)-divisible or equal to the array's
     hits = pl.pallas_call(
         kernel,
         grid=(Ppad // chunk,),
         in_specs=[
             pl.BlockSpec((N, 2), lambda i: (0, 0)),          # scan
-            pl.BlockSpec((N,), lambda i: (0,)),              # weights
+            pl.BlockSpec((1, N), lambda i: (0, 0)),          # weights
             pl.BlockSpec((chunk, 3), lambda i: (i, 0)),      # particles
             pl.BlockSpec((G, G), lambda i: (0, 0)),          # occupancy
             pl.BlockSpec((1, 2), lambda i: (0, 0)),          # center
         ],
-        out_specs=pl.BlockSpec((chunk,), lambda i: (i,)),
-        out_shape=jax.ShapeDtypeStruct((Ppad,), jnp.float32),
+        out_specs=pl.BlockSpec((chunk, 1), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((Ppad, 1), jnp.float32),
         interpret=interpret,
-    )(scan_xy, w, parts, occ, grid.center[None, :])
+    )(scan_xy, w[None, :], parts, occ, grid.center[None, :])
     denom = jnp.maximum(jnp.sum(valid), 1).astype(jnp.float32)
-    return hits[:P] / denom
+    return hits[:P, 0] / denom
 
 
 def score_particles(grid: PointMapGrid, scan_xy, valid, particles,

@@ -592,7 +592,17 @@ def graph_update_delta(state: SlamState,
         added & (graph.num_edges > 0), do_opt,
         lambda g: (g, jnp.zeros(4, state.pose.dtype)), graph)
 
-    if cfg.graph.map_regen == "mls":
+    if cfg.graph.map_regen == "grid":
+        # sort-free regeneration via the point-map scatter engine (the
+        # config-4 throughput path; see pose_graph.regenerate_map_grid)
+        def regen(g):
+            return pg.regenerate_map_grid(
+                g, state.map_cloud.capacity,
+                resolution=cfg.icp.voxel_leaf_obs[0],
+                grid_bins=cfg.graph.regen_grid_bins,
+                ga_threshold=cfg.icp.ga_threshold,
+                recall=cfg.cloud.export_recall)
+    elif cfg.graph.map_regen == "mls":
         # reference dataflow: global MLS rebuild -> cluster means as the
         # registration target (graph_slam.cpp:260-280, mls.cpp:520-555);
         # the 2D path has no ground class, so the obstacle export is the

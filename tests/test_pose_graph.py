@@ -245,3 +245,40 @@ def test_edges_dropped_counted_when_table_full():
                                    world_cloud_at(p, pts), icfg, gcfg)
     assert int(graph.num_edges) == 1
     assert int(graph.edges_dropped) >= 1
+
+
+def test_regenerate_map_grid_matches_voxel_on_flat_graph():
+    """map_regen="grid" (sort-free scatter engine) must produce EXACTLY the
+    voxel engine's centroid set when cells span <2 m of z (always true in
+    2D graphs) — the documented equivalence domain of
+    pose_graph.regenerate_map_grid."""
+    import dataclasses
+
+    import numpy as np
+
+    from slam_tpu.config import sim2d_config
+
+    cfg = sim2d_config()
+    g = pg.init_graph(dataclasses.replace(
+        cfg.graph, max_nodes=8, max_edges=16, keyframe_points=64))
+    rng = np.random.RandomState(0)
+    node_pose = np.zeros((8, 4), np.float32)
+    node_pose[:3, :2] = rng.uniform(-5, 5, (3, 2))
+    node_pose[:3, 2] = rng.uniform(-1, 1, 3)
+    g = g.replace(
+        node_pose=jnp.asarray(node_pose),
+        node_valid=g.node_valid.at[:3].set(True),
+        node_stamp=g.node_stamp.at[:3].set(jnp.arange(3)),
+        num_nodes=jnp.int32(3),
+        kf_xyz=g.kf_xyz.at[:3, :, :2].set(jnp.asarray(
+            rng.uniform(-8, 8, (3, 64, 2)).astype(np.float32))),
+        kf_valid=g.kf_valid.at[:3].set(True))
+    vox = pg.regenerate_map(g, 256, (0.5, 0.5, 2.0))
+    grd = pg.regenerate_map_grid(g, 256, 0.5, 384, recall=1.0)
+
+    def cellset(c):
+        xy = np.asarray(c.xyz)[np.asarray(c.valid)][:, :2]
+        return sorted((round(float(x), 3), round(float(y), 3))
+                      for x, y in xy)
+
+    assert cellset(vox) == cellset(grd)

@@ -42,6 +42,8 @@ def main():
     ap.add_argument("--degree-weight", type=float, default=None,
                     help="evict_degree_weight override (0 = the round-1 "
                          "pure-redundancy policy)")
+    ap.add_argument("--protect-recent", type=int, default=None,
+                    help="evict_protect_recent override")
     args = ap.parse_args()
 
     from slam_tpu.config import sim2d_config
@@ -53,6 +55,8 @@ def main():
                keyframe_points=256, knn_dist_thresh=args.kf_dist)
     if args.degree_weight is not None:
         gkw["evict_degree_weight"] = args.degree_weight
+    if args.protect_recent is not None:
+        gkw["evict_protect_recent"] = args.protect_recent
     cfg = dataclasses.replace(c, graph=dataclasses.replace(c.graph, **gkw))
     world = world2d.make_world(jax.random.PRNGKey(42), cfg.sim)
     st = slam2d.init_state(jax.random.PRNGKey(0), cfg, with_graph=True)
@@ -73,6 +77,17 @@ def main():
     print("ATE by mission quarter [cm]: "
           + "  ".join(f"Q{i+1}={s*100:.2f}" for i, s in enumerate(segs))
           + f"  |  overall={float(np.sqrt((err**2).mean()))*100:.2f}")
+    # coverage diagnostic: distance from the robot to the nearest SURVIVING
+    # graph node per quarter — if this explodes while ATE does, the penalty
+    # is capacity coverage (the map target can't span the mission), not the
+    # eviction ORDER; separates "better policy possible" from "floor"
+    node_xy = np.asarray(final.graph.node_pose[:, :2])
+    nv = np.asarray(final.graph.node_valid)
+    d_cover = np.linalg.norm(est[:, None, :2] - node_xy[None, nv],
+                             axis=-1).min(1)
+    segs_c = [float(d_cover[i * q:(i + 1) * q].mean()) for i in range(4)]
+    print("mean dist to nearest surviving node [m]: "
+          + "  ".join(f"Q{i+1}={s:.2f}" for i, s in enumerate(segs_c)))
 
 
 if __name__ == "__main__":
