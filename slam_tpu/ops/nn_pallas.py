@@ -137,8 +137,17 @@ def on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
+# Largest (S, C) problem routed to the VMEM-resident kernel: the kernel
+# materializes ~6 (R, S, C) f32 arrays, so past this the per-robot tile
+# cannot fit even at R=1 (the reloc ICP polish matches a 4k scene against
+# a 40k map: 671 MB — register-spill OOM at compile). Beyond it, the
+# query-tiled XLA path streams (chunk, C) tiles through HBM instead.
+RESIDENT_NN_LIMIT = 2_500_000
+
+
 def nearest_neighbor(q, m, m_valid, q_class=None, m_class=None):
-    """Backend-dispatching NN: Pallas on TPU, jnp elsewhere.
+    """Backend-dispatching NN: Pallas on TPU (query-tiled XLA fallback for
+    problems too large for VMEM residency), jnp elsewhere.
 
     The TPU kernel is 2D-only; higher-D inputs raise LOUDLY here rather
     than silently matching on x/y alone while the jnp fallback uses all
@@ -147,6 +156,9 @@ def nearest_neighbor(q, m, m_valid, q_class=None, m_class=None):
     classes are normalized to unconstrained on both backends."""
     if q_class is None or m_class is None:
         q_class = m_class = None
+    if on_tpu() and q.shape[-2] * m.shape[-2] > RESIDENT_NN_LIMIT:
+        return nn_jnp.nearest_neighbor_tiled(q, m, m_valid, q_class,
+                                             m_class)
     if on_tpu():
         if q.shape[-1] != 2 or m.shape[-1] != 2:
             raise ValueError(
