@@ -476,10 +476,18 @@ def bench_ref_scale_longrun(batch=16, total_steps=2048, graph_every=8):
         # keyframe map; the C-tiled kernel streams the 20k-point problem),
         # reference graph budgets (5 m keyframes, 20k-gate open since the
         # keyframe gate counts voxelized points — config.py note)
+        # edge_min_corr 30 (not the default 5): a kidnapped robot inserts a
+        # mis-posed keyframe whose edge ICP starts ~12 m wrong; a handful
+        # of bogus sub-0.75 m correspondences then passes the 5-pair
+        # overlap gate and the <10 m/<0.2 rad move gates, and one such
+        # garbage edge makes the graph solve explode (node poses -> 1e3+,
+        # the regenerated map collapses into border voxels, every robot
+        # registration dies). Thirty real overlapping cell pairs is ~half
+        # a healthy ref-scale keyframe overlap and unreachable by accident.
         graph=dataclasses.replace(c.graph, max_nodes=64, max_edges=320,
-                                  keyframe_points=2048),
+                                  keyframe_points=2048, edge_min_corr=30),
         global_match=dataclasses.replace(c.global_match, grid_size=192,
-                                         num_rotations=32),
+                                         num_rotations=64),
     )
     world = world3d.make_world(jax.random.PRNGKey(42), cfg.sim)
     keys = jax.random.split(jax.random.PRNGKey(0), batch)
@@ -488,21 +496,22 @@ def bench_ref_scale_longrun(batch=16, total_steps=2048, graph_every=8):
     gms = jax.vmap(lambda _: slam3d.init_ground_map(cfg))(jnp.arange(batch))
 
     n_macro = max(1, total_steps // graph_every)
-    kidnap_at = n_macro // 2
+    seg_macros = 8                      # macros per jitted segment
+    n_seg = max(1, n_macro // seg_macros)
+    kidnap_seg = n_seg // 2
     robot0 = (jnp.arange(batch) == 0).astype(jnp.float32)
 
+    # The mission runs as alternating SEPARATE XLA programs: a rollout
+    # segment (ticks + graph) and the failure-gated relocalization step.
+    # Fusing the FFT recovery branch into the ref-scale graph rollout in
+    # ONE program crashes the TPU worker (backend kernel fault, same class
+    # as the config-3 b256 note in main()); as standalone programs both
+    # run clean, and the reloc cadence (once per 8-macro segment, gated on
+    # the batch-level lost predicate) still exercises recovery in the loop.
     @jax.jit
-    def run(carry):
-        def macro(cc, i):
+    def run_seg(carry):
+        def macro(cc, _):
             s, gm = cc
-            kid = i == kidnap_at
-            kick = jnp.where(kid, 1.0, 0.0) * robot0
-            s = s.replace(
-                ekf=s.ekf.replace(
-                    mu=s.ekf.mu.at[:, 0].add(10.0 * kick)
-                    .at[:, 1].add(-6.0 * kick).at[:, 6].add(1.0 * kick)),
-                pose=s.pose.at[:, 0].add(10.0 * kick)
-                .at[:, 1].add(-6.0 * kick).at[:, 2].add(1.0 * kick))
 
             def tick(c2, _):
                 ss, g = c2
@@ -516,15 +525,74 @@ def bench_ref_scale_longrun(batch=16, total_steps=2048, graph_every=8):
             s, delta = jax.vmap(
                 lambda x: slam2d.graph_update_delta(x, cfg))(s)
             gm = jax.vmap(slam3d.apply_graph_offset)(gm, delta)
-            lost = ~s.scan_reg_ok | (kid & (robot0 > 0))
-            s = fleet_relocalize_if_lost(s, cfg, lost=lost)
             return (s, gm), traj
 
-        return jax.lax.scan(macro, carry, jnp.arange(n_macro))
+        return jax.lax.scan(macro, carry, None, length=seg_macros)
 
-    (_, _), (est, true) = run((states, gms))
-    est = np.asarray(est).reshape(-1, batch, 4).transpose(1, 0, 2)
-    true = np.asarray(true).reshape(-1, batch, 4).transpose(1, 0, 2)
+    @jax.jit
+    def kick_step(s, kid):
+        kick = jnp.where(kid, 1.0, 0.0) * robot0
+        return s.replace(
+            ekf=s.ekf.replace(
+                mu=s.ekf.mu.at[:, 0].add(10.0 * kick)
+                .at[:, 1].add(-6.0 * kick).at[:, 6].add(1.0 * kick)),
+            pose=s.pose.at[:, 0].add(10.0 * kick)
+            .at[:, 1].add(-6.0 * kick).at[:, 2].add(1.0 * kick))
+
+    @jax.jit
+    def reloc_step(s, kid):
+        # a kidnapped registration can lock onto the wrong basin without
+        # tripping the failure sentinel — the kid flag models the
+        # reference's operator-enable semantics (bench_mls_reloc
+        # docstring). Returns (states, pose delta of robot 0): an applied
+        # relocalization moves the belief discontinuously, which the host
+        # loop uses to keep retrying until recovery lands (the reference
+        # retries across scans too, global_match.cpp:199-221).
+        lost = ~s.scan_reg_ok | (kid & (robot0 > 0))
+        s2 = fleet_relocalize_if_lost(s, cfg, lost=lost)
+        return s2, jnp.linalg.norm(s2.pose[0, :2] - s.pose[0, :2])
+
+    import os
+    debug = bool(os.environ.get("SLAM_TPU_LONGRUN_DEBUG"))
+
+    if debug:
+        from slam_tpu.pipeline.relocalize import relocalize
+
+        @jax.jit
+        def debug_match0(ss):
+            one = jax.tree.map(lambda a: a[0], ss)
+            m = relocalize(one, one.prev_scene, cfg)
+            return m.score, m.ok, m.pose, jnp.sum(one.map_cloud.valid)
+
+    carry = (states, gms)
+    est_segs, true_segs = [], []
+    kid_pending = False
+    for seg in range(n_seg):
+        s, gm = carry
+        s = kick_step(s, jnp.asarray(seg == kidnap_seg))
+        if seg == kidnap_seg:
+            kid_pending = True
+        carry, (e, t) = run_seg((s, gm))
+        est_segs.append(np.asarray(e))
+        true_segs.append(np.asarray(t))
+        s, gm = carry
+        s, moved0 = reloc_step(s, jnp.asarray(kid_pending))
+        if debug:
+            err0 = float(np.linalg.norm(
+                np.asarray(s.pose[0, :2] - s.true_pose[0, :2])))
+            msc, mok, mpose, mapn = debug_match0(s)
+            print(f"seg {seg}: r0 err {err0:7.2f} m  moved0 "
+                  f"{float(moved0):6.2f}  ok0 {bool(s.scan_reg_ok[0])} "
+                  f"pending {kid_pending} scene0 "
+                  f"{int(np.asarray(s.prev_scene.valid[0].sum()))} "
+                  f"| match score {float(msc):.3f} ok {bool(mok)} "
+                  f"pose {np.asarray(mpose).round(1)} mapn {int(mapn)}",
+                  flush=True)
+        if kid_pending and float(moved0) > 0.5:
+            kid_pending = False          # a match was applied to robot 0
+        carry = (s, gm)
+    est = np.concatenate(est_segs).reshape(-1, batch, 4).transpose(1, 0, 2)
+    true = np.concatenate(true_segs).reshape(-1, batch, 4).transpose(1, 0, 2)
     err = np.linalg.norm(est[..., :2] - true[..., :2], axis=-1)
     raw = float(np.sqrt((err ** 2).mean()) * 100.0)
     from slam_tpu.pipeline.slam2d import ate_aligned
