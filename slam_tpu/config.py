@@ -420,6 +420,13 @@ def ref_scale_config() -> SlamConfig:
         sim=dataclasses.replace(c.sim, num_azimuth=640, beam_max_range=100.0),
         ground=dataclasses.replace(c.ground, signal_capacity=64),
         height=dataclasses.replace(c.height, source="grid"),
+        # edge_min_corr 30: at ref scale a mis-posed keyframe (kidnap /
+        # registration outage) can form an edge from a handful of bogus
+        # <0.75 m pairs that passes the default 5-pair gate, and ONE such
+        # edge explodes the graph solve (docs/PERF.md long-mission
+        # artifact). 30 pairs is ~half a healthy ref-scale keyframe
+        # overlap — unreachable by accident, cheap insurance.
+        graph=dataclasses.replace(c.graph, edge_min_corr=30),
         icp=dataclasses.replace(c.icp, inlier_dist=5.0, max_points=20000,
                                 ga_num_bins=384),
         # min_scan_points: the reference's >=20k gates

@@ -13,10 +13,11 @@ These tests pin that boundary with numbers:
   1. a controlled drifted-z loop: the 3D chain recovers true node z after
      optimization, the planar chain keeps the drift (the measured boundary
      for the deviation note in pose_graph.py:17-21);
-  2. an end-to-end ramp mission with a miscalibrated IMU where the 6-DoF
-     engine tracks attitude the planar engine doesn't model at all;
-  3. planar-world agreement: on benign terrain both engines deliver the
+  2. planar-world agreement: on benign terrain both engines deliver the
      same mission accuracy (the deviation is safe where it claims to be).
+
+(The end-to-end biased-IMU ramp mission A/B lives in
+tests/test_graph_se3_mission.py — split for per-file suite parallelism.)
 """
 
 import dataclasses
