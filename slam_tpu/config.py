@@ -157,6 +157,14 @@ class GraphConfig:
     # ~512 points — ref_scale_config sets the reference's 20k.
     min_keyframe_points: int = 0
     opt_iterations: int = 10             # graph_slam.cpp:332 LM iterations
+    # batch early exit for the GN loop (same construct as the ICP fit
+    # loop's min_delta, icp.cpp:27): once EVERY robot's largest pose update
+    # drops below this, the remaining iterations are no-ops to tolerance
+    # (each skipped step would move poses < opt_min_delta) and are skipped.
+    # 0 disables (fixed 10 iterations, the literal g2o call). Steady-state
+    # graphs converge in 2-3 iterations, so this cuts the optimize tick
+    # ~3x at b256 (docs/PERF.md config-4 round-5 follow-up).
+    opt_min_delta: float = 1e-5
     # graphSlamTools.cpp:282 leaf size — satisfied implicitly: keyframe
     # clouds are stored already voxel-downsampled at this leaf by the scene
     # builder (see _edge_measurement)

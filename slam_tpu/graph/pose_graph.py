@@ -526,7 +526,7 @@ def optimize(graph: PoseGraph, cfg: GraphConfig) -> tuple[PoseGraph, jnp.ndarray
     diag = diag.at[:3].set(1e5)
     diag = diag + jnp.repeat(~graph.node_valid, 3) * 1.0
 
-    def gn_iter(poses, _):
+    def gn_step(poses):
         e, A, B = _se2_edge_residuals(poses, graph)
         Om = info3 * w_edge[:, None, None]
 
@@ -554,10 +554,36 @@ def optimize(graph: PoseGraph, cfg: GraphConfig) -> tuple[PoseGraph, jnp.ndarray
             L, linalg.forward_substitute_blocked(L, -bd[:, None]))[:, 0]
         poses = poses + dx.reshape(N, 3)
         poses = poses.at[:, 2].set(angle_wrap(poses[:, 2]))
-        return poses, None
+        # convergence signal: the largest update applied to any VALID node
+        # (invalid slots are regularized to ~0 motion and would understate)
+        step = jnp.max(jnp.abs(dx.reshape(N, 3)) *
+                       graph.node_valid[:, None])
+        return poses, step
 
-    poses3, _ = jax.lax.scan(gn_iter, graph.node_pose[:, :3], None,
-                             length=cfg.opt_iterations)
+    if getattr(cfg, "opt_min_delta", 1e-5) > 0:
+        # batch-early-exit while loop (the ICP fit loop's construct,
+        # ops/icp.py): under vmap the predicate becomes "any robot still
+        # moving", so a converged fleet skips the remaining assembly+solve
+        # iterations — each skipped step would move poses < opt_min_delta,
+        # i.e. results match the fixed-length scan to that tolerance.
+        min_delta = getattr(cfg, "opt_min_delta", 1e-5)
+
+        def cond(carry):
+            _, it, step = carry
+            return (it < cfg.opt_iterations) & (step >= min_delta)
+
+        def body(carry):
+            poses, it, _ = carry
+            poses, step = gn_step(poses)
+            return poses, it + 1, step
+
+        big = jnp.asarray(jnp.inf, graph.node_pose.dtype)
+        poses3, _, _ = jax.lax.while_loop(
+            cond, body, (graph.node_pose[:, :3], jnp.int32(0), big))
+    else:
+        poses3, _ = jax.lax.scan(
+            lambda p, _: gn_step(p), graph.node_pose[:, :3], None,
+            length=cfg.opt_iterations)
 
     # z: linear chain/graph least squares with unit info (1 GN step, exact)
     def z_solve(zs):

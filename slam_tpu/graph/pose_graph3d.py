@@ -330,7 +330,8 @@ def _edge_residuals_se3(node_t, node_R, graph: Se3Graph):
 
 def optimize_se3(graph: Se3Graph, iterations: int = 10,
                  lm_lambda: float = 1e-3,
-                 gauge_weight: float = 1e5) -> Se3Graph:
+                 gauge_weight: float = 1e5,
+                 min_delta: float = 1e-5) -> Se3Graph:
     """Dense batched Gauss-Newton on the SE(3) manifold.
 
     Each iteration lifts the problem to the tangent at the current estimate
@@ -381,10 +382,29 @@ def optimize_se3(graph: Se3Graph, iterations: int = 10,
         dx = dx.reshape(N, 6)
         t1 = t0 + jnp.einsum("nab,nb->na", R0, dx[:, :3])
         R1 = R0 @ so3_exp(dx[:, 3:])
-        return (t1, R1), None
+        step = jnp.max(jnp.abs(dx) * graph.node_valid[:, None])
+        return (t1, R1), step
 
-    (t, R), _ = jax.lax.scan(gn_iter, (graph.node_t, graph.node_R), None,
-                             length=iterations)
+    if min_delta > 0:
+        # batch early exit, same construct/tolerance argument as
+        # pose_graph.optimize: a skipped iteration would move the tangent
+        # update < min_delta, and under vmap the loop runs until EVERY
+        # graph in the fleet has converged (jax freezes finished elements).
+        def cond(carry):
+            _, it, step = carry
+            return (it < iterations) & (step >= min_delta)
+
+        def body(carry):
+            state, it, _ = carry
+            state, step = gn_iter(state, None)
+            return state, it + 1, step
+
+        big = jnp.asarray(jnp.inf, graph.node_t.dtype)
+        (t, R), _, _ = jax.lax.while_loop(
+            cond, body, ((graph.node_t, graph.node_R), jnp.int32(0), big))
+    else:
+        (t, R), _ = jax.lax.scan(gn_iter, (graph.node_t, graph.node_R),
+                                 None, length=iterations)
     keep = graph.node_valid[:, None]
     t = jnp.where(keep, t, graph.node_t)
     R = jnp.where(keep[..., None], R, graph.node_R)
@@ -410,7 +430,8 @@ def optimize_planar(graph: PoseGraph, cfg) -> tuple[PoseGraph, jnp.ndarray]:
 
     se3 = from_planar(graph)
     se3 = optimize_se3(se3, iterations=cfg.opt_iterations,
-                       lm_lambda=cfg.lm_lambda)
+                       lm_lambda=cfg.lm_lambda,
+                       min_delta=getattr(cfg, "opt_min_delta", 1e-5))
 
     yaw = jnp.arctan2(se3.node_R[:, 1, 0], se3.node_R[:, 0, 0])
     new_pose = jnp.stack([se3.node_t[:, 0], se3.node_t[:, 1], yaw,
@@ -463,7 +484,8 @@ def optimize_native(graph: PoseGraph, cfg) -> tuple[PoseGraph, jnp.ndarray]:
 
     se3 = from_native(graph)
     se3 = optimize_se3(se3, iterations=cfg.opt_iterations,
-                       lm_lambda=cfg.lm_lambda)
+                       lm_lambda=cfg.lm_lambda,
+                       min_delta=getattr(cfg, "opt_min_delta", 1e-5))
 
     yaw = jnp.arctan2(se3.node_R[:, 1, 0], se3.node_R[:, 0, 0])
     # ZYX Euler extraction, inverse of rot3_from_rpy: r20 = -sin(pitch),

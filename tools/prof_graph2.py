@@ -1,6 +1,7 @@
 """Decompose the config-4 graph tick on TPU: add_keyframe (edge ICP) vs
 optimize vs map regeneration. Run: PYTHONPATH=/root/repo:/root/.axon_site
 python tools/prof_graph2.py"""
+import argparse
 import time, dataclasses
 import jax, jax.numpy as jnp
 from slam_tpu.config import sim2d_config
@@ -8,9 +9,17 @@ from slam_tpu.pipeline import slam2d
 from slam_tpu.sim import world2d
 from slam_tpu.graph import pose_graph as pg
 
+ap = argparse.ArgumentParser()
+# A/B the GN batch early exit (one process per value — retrace footgun)
+ap.add_argument("--opt-min-delta", type=float, default=None)
+_args = ap.parse_args()
+
 cfg = sim2d_config()
 cfg = cfg.replace(graph=dataclasses.replace(
     cfg.graph, max_nodes=32, max_edges=128, keyframe_points=384))
+if _args.opt_min_delta is not None:
+    cfg = cfg.replace(graph=dataclasses.replace(
+        cfg.graph, opt_min_delta=_args.opt_min_delta))
 world = world2d.make_world(jax.random.PRNGKey(42), cfg.sim)
 B = 256
 keys = jax.random.split(jax.random.PRNGKey(0), B)
