@@ -282,3 +282,34 @@ def test_regenerate_map_grid_matches_voxel_on_flat_graph():
                       for x, y in xy)
 
     assert cellset(vox) == cellset(grd)
+
+
+def test_early_exit_matches_fixed_iterations():
+    """The GN batch early exit (GraphConfig.opt_min_delta) is a pure
+    latency optimization: results must match the fixed-length scan to the
+    exit tolerance, including under vmap where graphs converge at
+    DIFFERENT iteration counts (jax freezes finished batch elements while
+    the slowest one keeps iterating)."""
+    import dataclasses
+    gcfg, _ = _cfgs()
+    graph, true, noisy, _ = _manual_graph(gcfg)
+
+    fixed = dataclasses.replace(gcfg, opt_min_delta=0.0)
+    eager = dataclasses.replace(gcfg, opt_min_delta=1e-5)
+    opt_fixed, d_fixed = pg.optimize(graph, fixed)
+    opt_eager, d_eager = pg.optimize(graph, eager)
+    np.testing.assert_allclose(np.asarray(opt_eager.node_pose),
+                               np.asarray(opt_fixed.node_pose), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(d_eager), np.asarray(d_fixed),
+                               atol=1e-4)
+
+    # heterogeneous batch: one graph already at its optimum (converges in
+    # 1 iteration), one starting far away (needs several) — the early-exit
+    # while under vmap must keep iterating the slow one without perturbing
+    # the converged one
+    far = graph.replace(node_pose=graph.node_pose.at[1:4, :2].add(1.5))
+    batched = jax.tree.map(lambda a, b: jnp.stack([a, b]), opt_fixed, far)
+    ov_eager, _ = jax.vmap(lambda g: pg.optimize(g, eager))(batched)
+    ov_fixed, _ = jax.vmap(lambda g: pg.optimize(g, fixed))(batched)
+    np.testing.assert_allclose(np.asarray(ov_eager.node_pose),
+                               np.asarray(ov_fixed.node_pose), atol=1e-4)
